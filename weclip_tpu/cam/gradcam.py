@@ -1,0 +1,135 @@
+"""Hook-free GradCAM on the last CLIP block via ``jax.vjp``.
+
+Reference behavior being reproduced (SURVEY §3.3):
+
+- ``CLIP.forward_last_layer`` (clip/model.py:407-429) runs resblock 11 with
+  grad, ln_post, mean-pools patch tokens, projects, L2-normalizes and
+  returns softmaxed image-text logits.
+- ``pytorch_grad_cam`` hooks the *output of resblock-11's ln_1*
+  (model_attn_aff_voc.py:84) and taps its gradient
+  (activations_and_gradients.py:11-37).
+- GradCAM weights = spatial mean of those gradients (grad_cam.py:16-23);
+  CAM = min-max-normalized ReLU(sum_c w_c * act_c)
+  (base_cam.py:116-154, utils/image.py:51-61).
+- The loss backpropagated is the *softmax probability* of the target class
+  over [present-fg-classes ∪ all-bg-classes] (base_cam.py:84-90,
+  clip_tool.py:134-147).
+
+TPU-first re-design: the per-image, per-class Python loop with repeated
+``loss.backward(retain_graph=True)`` becomes one ``jax.vjp`` linearization
+per image whose pullback is ``vmap``-ed over all foreground class seeds at
+once; absent classes are masked to -inf *before* the softmax, which yields
+exactly the reference's present-classes-only softmax.  XLA turns the batched
+pullbacks into a handful of large MXU matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import ClipConfig
+from weclip_tpu.models.clip import vit
+
+
+class CamOutputs(NamedTuple):
+    cams: jax.Array        # (B, C_fg, P) min-max normalized CAMs on the padded grid
+    attn_last: jax.Array   # (B, L, L) head-mean attention of block 11
+    probs: jax.Array       # (B, T) masked softmax over [fg ; bg] logits
+
+
+def _image_text_probs(params, x_out, text_features, text_mask, valid, policy):
+    """ln_post -> masked mean-pool -> proj -> L2 norm -> scaled cosine ->
+    masked softmax (clip/model.py:409-427 with present-class masking)."""
+    x = vit.layer_norm(x_out, params["ln_post"]["g"], params["ln_post"]["b"])
+    pmask = valid[1:].astype(jnp.float32)                       # patch tokens only
+    pooled = jnp.sum(x[1:] * pmask[:, None], axis=0) / jnp.maximum(pmask.sum(), 1.0)
+    feat = pooled @ params["proj"].astype(jnp.float32)
+    feat = feat / jnp.linalg.norm(feat)
+    tf = text_features / jnp.linalg.norm(text_features, axis=-1, keepdims=True)
+    logits = jnp.exp(params["logit_scale"]) * (tf @ feat)       # (T,)
+    logits = jnp.where(text_mask, logits, -jnp.inf)
+    return jax.nn.softmax(logits)
+
+
+def _minmax_valid(x: jax.Array, valid: jax.Array) -> jax.Array:
+    """Min-max normalize over valid cells (utils/image.py:51-61); invalid -> 0."""
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(valid, x, big))
+    lo = jnp.where(jnp.isfinite(lo) & (lo < big), lo, 0.0)
+    x = x - lo
+    hi = jnp.max(jnp.where(valid, x, 0.0))
+    x = x / (1e-7 + hi)
+    return jnp.where(valid, x, 0.0)
+
+
+def gradcam_single(
+    visual_params,
+    logit_scale,
+    x11: jax.Array,            # (L, D) input tokens to block 11 (frozen output)
+    text_features: jax.Array,  # (T, E) rows: [fg_classes ; bg_classes]
+    text_mask: jax.Array,      # (T,) bool: present fg + all bg
+    valid: jax.Array,          # (L,) token validity
+    num_fg: int,
+    cfg: ClipConfig,
+    policy: precision.Policy = precision.DEFAULT,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """GradCAM for every foreground class of one image in one linearization.
+
+    Returns (cams (C_fg, P), attn_last (L, L), probs (T,)).
+    """
+    block11 = jax.tree_util.tree_map(lambda a: a[cfg.vision_layers - 1],
+                                     visual_params["blocks"])
+    p = {"ln_post": visual_params["ln_post"], "proj": visual_params["proj"],
+         "logit_scale": logit_scale}
+
+    a0 = vit.layer_norm(x11, block11["ln_1"]["g"], block11["ln_1"]["b"])
+
+    def head_fn(a):
+        x_out, attn_w = vit.block_forward_from_ln1(
+            block11, x11[None], a[None], cfg.vision_heads,
+            valid=valid[None], policy=policy)
+        probs = _image_text_probs(p, x_out[0], text_features, text_mask, valid, policy)
+        return probs, attn_w[0]
+
+    (probs, attn_last), pullback = jax.vjp(head_fn, a0)
+
+    # one softmax-probability seed per fg class; pullback vmapped over seeds
+    seeds = jnp.eye(num_fg, text_features.shape[0], dtype=probs.dtype)
+    zero_attn = jnp.zeros_like(attn_last)
+
+    def grad_for(seed):
+        (g,) = pullback((seed, zero_attn))
+        return g                                              # (L, D) grad at ln_1 out
+
+    grads = jax.vmap(grad_for)(seeds)                          # (C_fg, L, D)
+
+    # GradCAM: weights = mean over valid patch positions of the gradient
+    pmask = valid[1:].astype(jnp.float32)
+    denom = jnp.maximum(pmask.sum(), 1.0)
+    weights = jnp.sum(grads[:, 1:] * pmask[None, :, None], axis=1) / denom  # (C_fg, D)
+    acts = a0[1:]                                              # (P, D) patch activations
+    cams = jnp.einsum("cd,pd->cp", weights, acts.astype(jnp.float32))
+    cams = jnp.maximum(cams, 0.0)
+    cams = jax.vmap(lambda c: _minmax_valid(c, valid[1:].astype(bool)))(cams)
+    return cams, attn_last, probs
+
+
+def gradcam_batch(
+    visual_params,
+    logit_scale,
+    x11: jax.Array,            # (B, L, D)
+    text_features: jax.Array,  # (T, E)
+    text_mask: jax.Array,      # (B, T)
+    valid: jax.Array,          # (B, L)
+    num_fg: int,
+    cfg: ClipConfig,
+    policy: precision.Policy = precision.DEFAULT,
+) -> CamOutputs:
+    f = lambda x, tm, v: gradcam_single(visual_params, logit_scale, x,
+                                        text_features, tm, v, num_fg, cfg, policy)
+    cams, attn_last, probs = jax.vmap(f)(x11, text_mask, valid)
+    return CamOutputs(cams, attn_last, probs)

@@ -1,0 +1,111 @@
+"""Host-side image transforms (numpy), matching datasets/transforms.py.
+
+- normalization uses ImageNet statistics on 0..255 pixels
+  (transforms.py:8-15; the CLIP stats upstream are commented out),
+- random rescale [0.5, 2.0] with PIL bilinear (transforms.py:26-51),
+- random horizontal flip (:75-88),
+- random crop with zero padding to >= crop_size, a 10-try cat_max_ratio
+  0.75 crop box, and the valid-region ``img_box`` (:119-176).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.asarray([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.asarray([58.395, 57.12, 57.375], np.float32)
+
+
+def normalize_img(img: np.ndarray,
+                  mean: np.ndarray = IMAGENET_MEAN,
+                  std: np.ndarray = IMAGENET_STD) -> np.ndarray:
+    return ((np.asarray(img, np.float32) - mean) / std).astype(np.float32)
+
+
+def rescale(image: np.ndarray, scale: float,
+            label: Optional[np.ndarray] = None):
+    """PIL bilinear image / nearest label rescale (transforms.py:35-51)."""
+    h, w = image.shape[:2]
+    new_size = (int(scale * w), int(scale * h))
+    im = Image.fromarray(image.astype(np.uint8)).resize(new_size, Image.BILINEAR)
+    im = np.asarray(im).astype(np.float32)
+    if label is None:
+        return im
+    lb = Image.fromarray(label).resize(new_size, Image.NEAREST)
+    return im, np.asarray(lb)
+
+
+def random_scaling(image: np.ndarray, scale_range: Tuple[float, float],
+                   label: Optional[np.ndarray] = None,
+                   rng: Optional[random.Random] = None):
+    r = rng or random
+    return rescale(image, r.uniform(*scale_range), label)
+
+
+def random_fliplr(image: np.ndarray, label: Optional[np.ndarray] = None,
+                  rng: Optional[random.Random] = None):
+    r = rng or random
+    flip = r.random() > 0.5
+    if label is None:
+        return np.fliplr(image) if flip else image
+    if flip:
+        return np.fliplr(image), np.fliplr(label)
+    return image, label
+
+
+def random_crop(image: np.ndarray, crop_size: int,
+                label: Optional[np.ndarray] = None,
+                ignore_index: int = 255,
+                cat_max_ratio: float = 0.75,
+                rng: Optional[random.Random] = None):
+    """Zero-pad to >= crop, then crop; returns img_box of the valid region
+    (transforms.py:119-176)."""
+    r = rng or random
+    h, w = image.shape[:2]
+    big_h, big_w = max(crop_size, h), max(crop_size, w)
+    pad_img = np.zeros((big_h, big_w, 3), np.float32)
+    h_pad = int(np.random.randint(big_h - h + 1))
+    w_pad = int(np.random.randint(big_w - w + 1))
+    pad_img[h_pad:h_pad + h, w_pad:w_pad + w] = image
+
+    pad_label = None
+    if label is not None:
+        pad_label = np.full((big_h, big_w), ignore_index, np.float32)
+        pad_label[h_pad:h_pad + h, w_pad:w_pad + w] = label
+
+    h0 = w0 = 0
+    for _ in range(10):
+        h0 = r.randrange(0, big_h - crop_size + 1)
+        w0 = r.randrange(0, big_w - crop_size + 1)
+        if pad_label is None:
+            break
+        tmp = pad_label[h0:h0 + crop_size, w0:w0 + crop_size]
+        index, cnt = np.unique(tmp, return_counts=True)
+        cnt = cnt[index != ignore_index]
+        if len(cnt) > 1 and np.max(cnt) / np.sum(cnt) < cat_max_ratio:
+            break
+
+    img = pad_img[h0:h0 + crop_size, w0:w0 + crop_size]
+    img_box = np.asarray([max(h_pad - h0, 0), min(h0 + crop_size, h_pad + h) - h0,
+                          max(w_pad - w0, 0), min(w0 + crop_size, w_pad + w) - w0],
+                         np.int16)
+    if label is None:
+        return img, img_box
+    lab = pad_label[h0:h0 + crop_size, w0:w0 + crop_size]
+    return img, lab, img_box
+
+
+def resize_long_side(image: np.ndarray, long_side: int) -> np.ndarray:
+    """Eval-time resize of the long side on the *float* image
+    (test_msc_flip_voc.py:60-63 interpolates the normalized tensor with
+    align_corners=False; cv2 INTER_LINEAR on float32 matches exactly)."""
+    import cv2
+    h, w = image.shape[:2]
+    ratio = long_side / max(h, w)
+    nh, nw = int(h * ratio), int(w * ratio)
+    return cv2.resize(image.astype(np.float32), (nw, nh),
+                      interpolation=cv2.INTER_LINEAR)

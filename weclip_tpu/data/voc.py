@@ -1,0 +1,130 @@
+"""PASCAL VOC 2012 (aug) datasets — host-side numpy pipeline.
+
+Mirrors datasets/voc.py: name lists from ``<name_list_dir>/<split>.txt``,
+images under ``JPEGImages``, labels under ``SegmentationClassAug``,
+image-level one-hot labels from ``cls_labels_onehot.npy``.
+
+One deliberate redesign (SURVEY §7 build plan, data/): the reference re-reads
+each label PNG *inside the model forward* on every step to derive the
+image-level class set (clip_tool.py:111-124).  Here the dataset computes the
+class set once per example and ships it as a ``present_mask`` tensor,
+including the reference's background->last-class wrap-around quirk
+(``unique(label) - 1`` keeps -1 for background, which indexes the last
+foreground class; see weclip_tpu/models/weclip.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+from weclip_tpu.core.config import DatasetConfig
+from weclip_tpu.data import transforms
+
+
+def load_name_list(path: str):
+    with open(path) as f:
+        return [x.strip() for x in f.read().split("\n") if x.strip()]
+
+
+def load_cls_labels(name_list_dir: str) -> Dict[str, np.ndarray]:
+    p = os.path.join(name_list_dir, "cls_labels_onehot.npy")
+    return np.load(p, allow_pickle=True).item()
+
+
+def class_set_from_label(label: np.ndarray, num_fg: int) -> np.ndarray:
+    """Image-level class set with the reference's quirk
+    (clip_tool.py:111-124): ids = unique(label) - 1, drop {254, 255}, keep
+    -1 (background), which wraps to the last foreground class."""
+    ids = np.unique(label).astype(np.int64) - 1
+    ids = ids[(ids != 254) & (ids != 255)]
+    mask = np.zeros(num_fg, bool)
+    for i in ids:
+        mask[int(i)] = True          # i == -1 wraps to num_fg - 1
+    return mask
+
+
+class VOCBase:
+    def __init__(self, cfg: DatasetConfig, split: str):
+        self.cfg = cfg
+        self.split = split
+        self.img_dir = os.path.join(cfg.root_dir, "JPEGImages")
+        self.label_dir = os.path.join(cfg.root_dir, "SegmentationClassAug")
+        self.names = load_name_list(os.path.join(cfg.name_list_dir, split + ".txt"))
+        self.cls_labels = load_cls_labels(cfg.name_list_dir)
+
+    def __len__(self):
+        return len(self.names)
+
+    def read_image(self, name: str) -> np.ndarray:
+        img = np.asarray(Image.open(os.path.join(self.img_dir, name + ".jpg")).convert("RGB"))
+        return img
+
+    def read_label(self, name: str) -> np.ndarray:
+        return np.asarray(Image.open(os.path.join(self.label_dir, name + ".png")))
+
+
+class VOCClsDataset(VOCBase):
+    """Training dataset (datasets/voc.py:75-180): random rescale -> flip ->
+    crop with img_box; ImageNet normalization; CHW output."""
+
+    def __init__(self, cfg: DatasetConfig, split: str = "train_aug",
+                 seed: Optional[int] = None):
+        super().__init__(cfg, split)
+        self.rng = random.Random(seed)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        name = self.names[idx]
+        image = self.read_image(name).astype(np.float32)
+        image = transforms.random_scaling(image, self.cfg.rescale_range, rng=self.rng)
+        image = transforms.random_fliplr(image, rng=self.rng)
+        image, img_box = transforms.random_crop(
+            image, self.cfg.crop_size, ignore_index=self.cfg.ignore_index,
+            rng=self.rng)
+        image = transforms.normalize_img(
+            image, np.asarray(self.cfg.mean, np.float32),
+            np.asarray(self.cfg.std, np.float32))
+        image = np.transpose(image, (2, 0, 1))
+
+        label_full = self.read_label(name)
+        present = class_set_from_label(label_full, self.cfg.num_classes - 1)
+        return {
+            "name": name,
+            "img": image.astype(np.float32),
+            "cls_label": np.asarray(self.cls_labels[name], np.uint8),
+            "img_box": img_box,
+            "present_mask": present,
+        }
+
+
+class VOCSegDataset(VOCBase):
+    """Eval dataset (datasets/voc.py:183-271, aug=False): full-size image +
+    label, no augmentation."""
+
+    def __init__(self, cfg: DatasetConfig, split: str = "val",
+                 stage: str = "val"):
+        super().__init__(cfg, split)
+        self.stage = stage
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        name = self.names[idx]
+        image = self.read_image(name).astype(np.float32)
+        if self.stage == "test":
+            label = image[:, :, 0].astype(np.int32)
+        else:
+            label = self.read_label(name).astype(np.int32)
+        present = class_set_from_label(label, self.cfg.num_classes - 1)
+        norm = transforms.normalize_img(
+            image, np.asarray(self.cfg.mean, np.float32),
+            np.asarray(self.cfg.std, np.float32))
+        return {
+            "name": name,
+            "img": np.transpose(norm, (2, 0, 1)).astype(np.float32),
+            "label": label,
+            "cls_label": np.asarray(self.cls_labels.get(name, 0), np.uint8),
+            "present_mask": present,
+        }

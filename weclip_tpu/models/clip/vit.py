@@ -1,0 +1,329 @@
+"""Frozen CLIP ViT-B/16 + text encoder as pure JAX functions.
+
+Re-designs the reference's modified CLIP runtime (clip/model.py) TPU-first:
+
+- Parameters are plain pytrees; the 12 transformer blocks are *stacked*
+  along a leading axis so the frozen 11-block forward is one ``lax.scan``
+  (one compiled block body instead of 11 unrolled ones).
+- Tokens live on a fixed *padded* grid with a validity mask, so arbitrary
+  image sizes / msc-flip scales compile to a single XLA program and batch
+  across TPU cores (reference loops images one-by-one,
+  test_msc_flip_voc.py:48-90).
+- Per-layer token tensors and head-averaged attention maps are returned
+  exactly like the reference's ``require_all_fts=True`` path
+  (clip/model.py:225-243), because downstream CAM refinement consumes them.
+- Patchify is an explicit unfold+matmul (MXU-shaped) rather than a
+  convolution.
+
+Numerical fidelity notes (SURVEY §7 "determinism traps"):
+- LayerNorm in fp32 (clip/model.py:177-183), QKV/softmax fp32 islands
+  (clip/myAtt.py:199), QuickGELU (clip/model.py:186-188).
+- Positional embeddings bilinearly upsampled with align_corners=False
+  (clip/model.py:11-27).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import ClipConfig
+from weclip_tpu.ops.attention import MhaParams, mha_with_weights
+from weclip_tpu.ops.resize import _linear_matrix, upsample_pos_emb
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """fp32 LayerNorm, output cast back to input dtype (clip/model.py:177-183)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * g.astype(jnp.float32) + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def mlp_forward(p: Params, x: jax.Array, policy: precision.Policy) -> jax.Array:
+    cd = policy.compute_dtype
+    h = jnp.einsum("bld,ed->ble", x.astype(cd), p["fc_w"].astype(cd),
+                   preferred_element_type=jnp.float32) + p["fc_b"].astype(jnp.float32)
+    h = quick_gelu(h)
+    y = jnp.einsum("ble,de->bld", h.astype(cd), p["proj_w"].astype(cd),
+                   preferred_element_type=jnp.float32) + p["proj_b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def block_forward(
+    p: Params,
+    x: jax.Array,
+    n_heads: int,
+    valid: Optional[jax.Array] = None,
+    attn_bias: Optional[jax.Array] = None,
+    policy: precision.Policy = precision.DEFAULT,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pre-LN residual attention block (clip/model.py:191-214).
+
+    Returns (x_out, head_mean_attn (B,L,L), ln1_out) — ln1_out is exposed
+    because GradCAM hooks the reference at exactly this tensor
+    (model_attn_aff_voc.py:84, activations_and_gradients.py:11-37).
+    """
+    a = layer_norm(x, p["ln_1"]["g"], p["ln_1"]["b"])
+    mha = MhaParams(p["attn"]["in_w"], p["attn"]["in_b"],
+                    p["attn"]["out_w"], p["attn"]["out_b"])
+    attn_out, attn_w = mha_with_weights(a, mha, n_heads, valid=valid,
+                                        attn_bias=attn_bias, policy=policy)
+    x = x + attn_out
+    x = x + mlp_forward(p["mlp"], layer_norm(x, p["ln_2"]["g"], p["ln_2"]["b"]), policy)
+    return x, attn_w, a
+
+
+def block_forward_from_ln1(
+    p: Params,
+    x_in: jax.Array,
+    a: jax.Array,
+    n_heads: int,
+    valid: Optional[jax.Array] = None,
+    policy: precision.Policy = precision.DEFAULT,
+) -> Tuple[jax.Array, jax.Array]:
+    """Block forward with the ln_1 output ``a`` supplied explicitly.
+
+    This is the differentiable split used by vjp-GradCAM: gradients w.r.t.
+    ``a`` reproduce the reference's register_hook tap on ln_1's output.
+    """
+    mha = MhaParams(p["attn"]["in_w"], p["attn"]["in_b"],
+                    p["attn"]["out_w"], p["attn"]["out_b"])
+    attn_out, attn_w = mha_with_weights(a, mha, n_heads, valid=valid, policy=policy)
+    x = x_in + attn_out
+    x = x + mlp_forward(p["mlp"], layer_norm(x, p["ln_2"]["g"], p["ln_2"]["b"]), policy)
+    return x, attn_w
+
+
+# ---------------------------------------------------------------------------
+# patchify + embeddings
+# ---------------------------------------------------------------------------
+
+def patchify(img: jax.Array, conv_w: jax.Array, patch: int,
+             policy: precision.Policy) -> jax.Array:
+    """16x16/stride-16 patch embedding as unfold+matmul (clip/model.py:251,267-269).
+
+    img: (B, 3, H, W) with 16 | H, W.  Returns (B, gh*gw, width).
+    """
+    b, c, h, w = img.shape
+    gh, gw = h // patch, w // patch
+    x = img.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, c * patch * patch)
+    wmat = conv_w.reshape(conv_w.shape[0], -1)               # (width, 3*p*p)
+    cd = policy.compute_dtype
+    y = jnp.einsum("bpe,de->bpd", x.astype(cd), wmat.astype(cd),
+                   preferred_element_type=jnp.float32)
+    return y
+
+
+def build_pos_emb(params: Params, gh: int, gw: int,
+                  pad_gh: Optional[int] = None, pad_gw: Optional[int] = None) -> jax.Array:
+    """Upsampled positional embedding on the (padded) grid: (1+G*G, width)."""
+    pe = upsample_pos_emb(params["positional_embedding"], gh, gw)
+    if pad_gh is None:
+        return pe
+    d = pe.shape[-1]
+    grid = jnp.zeros((pad_gh, pad_gw, d), pe.dtype)
+    grid = grid.at[:gh, :gw].set(pe[1:].reshape(gh, gw, d))
+    return jnp.concatenate([pe[:1], grid.reshape(pad_gh * pad_gw, d)], axis=0)
+
+
+def pos_emb_host(pos_emb: np.ndarray, gh: int, gw: int,
+                 pad_gh: int, pad_gw: int) -> np.ndarray:
+    """Host (numpy) mirror of build_pos_emb for per-image variable sizes."""
+    n = pos_emb.shape[0] - 1
+    g = int(round(n ** 0.5))
+    d = pos_emb.shape[-1]
+    grid = pos_emb[1:].reshape(g, g, d).astype(np.float32)
+    mh = _linear_matrix(g, gh, False)
+    mw = _linear_matrix(g, gw, False)
+    grid = np.einsum("oh,hwd->owd", mh, grid)
+    grid = np.einsum("pw,owd->opd", mw, grid)
+    out = np.zeros((pad_gh, pad_gw, d), np.float32)
+    out[:gh, :gw] = grid
+    return np.concatenate([pos_emb[:1].astype(np.float32),
+                           out.reshape(pad_gh * pad_gw, d)], axis=0)
+
+
+def grid_valid_mask(gh: jax.Array, gw: jax.Array, pad_gh: int, pad_gw: int) -> jax.Array:
+    """(1+G*G,) token-validity mask for a (gh, gw) valid region (traced sizes ok)."""
+    rows = jnp.arange(pad_gh)[:, None] < gh
+    cols = jnp.arange(pad_gw)[None, :] < gw
+    grid = (rows & cols).reshape(-1)
+    return jnp.concatenate([jnp.ones((1,), bool), grid])
+
+
+# ---------------------------------------------------------------------------
+# frozen vision forward
+# ---------------------------------------------------------------------------
+
+class VisionFeatures(NamedTuple):
+    """Per-layer products of the frozen 11-block forward
+    (reference require_all_fts=True, clip/model.py:225-243)."""
+    layer_tokens: jax.Array      # (11, B, L, D) fp32
+    layer_attn: jax.Array        # (keep_attn, B, L, L) fp32, last layers kept
+    valid: jax.Array             # (B, L) bool
+
+
+def _stack_block(p: Params, i) -> Params:
+    return jax.tree_util.tree_map(lambda a: a[i], p)
+
+
+def vision_forward_frozen(
+    params: Params,
+    img: jax.Array,
+    pos_emb: jax.Array,
+    valid: jax.Array,
+    cfg: ClipConfig,
+    keep_attn: int = 11,
+    policy: precision.Policy = precision.DEFAULT,
+) -> VisionFeatures:
+    """Frozen CLIP forward over blocks 0..10 with feature/attention export.
+
+    img:     (B, 3, H, W) normalized, padded to a multiple of 16.
+    pos_emb: (B or 1, L, D) per-image positional embedding on the padded grid.
+    valid:   (B, L) token-validity mask (CLS first).
+
+    Wrapped in stop_gradient by callers — the reference runs these blocks
+    under torch.no_grad() (clip/model.py:228-233).
+    """
+    b = img.shape[0]
+    x = patchify(img, params["conv1_w"], cfg.patch_size, policy)     # (B,P,D) fp32
+    cls = params["class_embedding"].astype(jnp.float32)[None, None, :]
+    x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, x.shape[-1])), x], axis=1)
+    x = x + pos_emb.astype(jnp.float32)
+    x = layer_norm(x, params["ln_pre"]["g"], params["ln_pre"]["b"])
+    x = jnp.where(valid[..., None], x, 0.0)
+
+    n_frozen = cfg.vision_layers - 1
+    blocks = params["blocks"]
+    frozen = jax.tree_util.tree_map(lambda a: a[:n_frozen], blocks)
+
+    def body(x, bp):
+        x, attn_w, _ = block_forward(bp, x, cfg.vision_heads, valid=valid,
+                                     policy=policy)
+        return x, (x, attn_w)
+
+    _, (xs, attns) = jax.lax.scan(body, x, frozen)
+    xs = jax.lax.stop_gradient(xs)
+    attns = jax.lax.stop_gradient(attns[n_frozen - keep_attn:] if keep_attn < n_frozen else attns)
+    return VisionFeatures(xs, attns, valid)
+
+
+# ---------------------------------------------------------------------------
+# text encoder
+# ---------------------------------------------------------------------------
+
+def causal_bias(l: int) -> jax.Array:
+    """Additive causal mask (clip/model.py:375-381)."""
+    m = jnp.full((l, l), -jnp.inf)
+    m = jnp.triu(m, 1)
+    return m[None, None]
+
+
+def encode_text(params: Params, tokens: jax.Array, cfg: ClipConfig,
+                policy: precision.Policy = precision.FP32) -> jax.Array:
+    """CLIP text encoder (clip/model.py:392-405). tokens: (N, 77) int32.
+
+    Runs once at model init to build the class-prompt embedding table, so it
+    defaults to fp32.
+    """
+    x = params["token_embedding"][tokens].astype(jnp.float32)
+    x = x + params["positional_embedding"].astype(jnp.float32)[None]
+    bias = causal_bias(cfg.context_length)
+
+    def body(x, bp):
+        x, _, _ = block_forward(bp, x, cfg.transformer_heads, attn_bias=bias,
+                                policy=policy)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(x, params["ln_final"]["g"], params["ln_final"]["b"])
+    eot = jnp.argmax(tokens, axis=-1)
+    x = x[jnp.arange(x.shape[0]), eot]
+    return x @ params["text_projection"].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# initialization (CLIP's scheme, clip/model.py:346-373)
+# ---------------------------------------------------------------------------
+
+def _init_block(rng, width: int) -> Params:
+    ks = jax.random.split(rng, 4)
+    attn_std = width ** -0.5
+    proj_std = (width ** -0.5) * ((2 * 12) ** -0.5)
+    fc_std = (2 * width) ** -0.5
+    return {
+        "ln_1": {"g": jnp.ones((width,)), "b": jnp.zeros((width,))},
+        "attn": {
+            "in_w": jax.random.normal(ks[0], (3 * width, width)) * attn_std,
+            "in_b": jnp.zeros((3 * width,)),
+            "out_w": jax.random.normal(ks[1], (width, width)) * proj_std,
+            "out_b": jnp.zeros((width,)),
+        },
+        "ln_2": {"g": jnp.ones((width,)), "b": jnp.zeros((width,))},
+        "mlp": {
+            "fc_w": jax.random.normal(ks[2], (4 * width, width)) * fc_std,
+            "fc_b": jnp.zeros((4 * width,)),
+            "proj_w": jax.random.normal(ks[3], (width, 4 * width)) * proj_std,
+            "proj_b": jnp.zeros((width,)),
+        },
+    }
+
+
+def _stack_blocks(blocks) -> Params:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_vision_params(rng: jax.Array, cfg: ClipConfig) -> Params:
+    w = cfg.vision_width
+    scale = w ** -0.5
+    g = 224 // cfg.patch_size
+    ks = jax.random.split(rng, 5 + cfg.vision_layers)
+    return {
+        "conv1_w": jax.random.normal(ks[0], (w, 3, cfg.patch_size, cfg.patch_size)) * scale,
+        "class_embedding": jax.random.normal(ks[1], (w,)) * scale,
+        "positional_embedding": jax.random.normal(ks[2], (g * g + 1, w)) * scale,
+        "ln_pre": {"g": jnp.ones((w,)), "b": jnp.zeros((w,))},
+        "blocks": _stack_blocks([_init_block(ks[5 + i], w) for i in range(cfg.vision_layers)]),
+        "ln_post": {"g": jnp.ones((w,)), "b": jnp.zeros((w,))},
+        "proj": jax.random.normal(ks[3], (w, cfg.embed_dim)) * scale,
+    }
+
+
+def init_text_params(rng: jax.Array, cfg: ClipConfig) -> Params:
+    w = cfg.transformer_width
+    ks = jax.random.split(rng, 4 + cfg.transformer_layers)
+    return {
+        "token_embedding": jax.random.normal(ks[0], (cfg.vocab_size, w)) * 0.02,
+        "positional_embedding": jax.random.normal(ks[1], (cfg.context_length, w)) * 0.01,
+        "blocks": _stack_blocks([_init_block(ks[4 + i], w) for i in range(cfg.transformer_layers)]),
+        "ln_final": {"g": jnp.ones((w,)), "b": jnp.zeros((w,))},
+        "text_projection": jax.random.normal(ks[2], (w, cfg.embed_dim)) * (w ** -0.5),
+    }
+
+
+def init_clip_params(rng: jax.Array, cfg: ClipConfig) -> Params:
+    kv, kt = jax.random.split(rng)
+    return {
+        "visual": init_vision_params(kv, cfg),
+        "text": init_text_params(kt, cfg),
+        "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
+    }

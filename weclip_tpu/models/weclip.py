@@ -1,0 +1,213 @@
+"""WeCLIP model assembly: frozen CLIP -> heads -> online pseudo-labels.
+
+Re-designs ``WeCLIP_model/model_attn_aff_voc.py`` (and the _coco/_seg
+variants) as one pure, jittable function per mode.  The reference's
+per-image / per-class Python loops with GPU->CPU->GPU round-trips
+(model_attn_aff_voc.py:139-171, clip_tool.py:106-197, base_cam.py:122-125)
+become batch axes: every stage below runs on device, vmapped over images and
+classes, inside a single XLA program.
+
+Class-set quirk (reproduced deliberately): the reference derives each
+image's class set from the unique ids of its label PNG via
+``unique(label) - 1`` and only removes {254, 255} *after* the shift
+(clip_tool.py:111-118).  Background pixels (id 0) therefore map to class
+index -1, i.e. the *last* foreground class ('tvmonitor screen' /
+'toothbrush'), which consequently joins the CAM text set and pseudo-label
+keys of nearly every image.  Parity requires keeping this behavior; the data
+pipeline encodes it in ``present_mask`` (weclip_tpu/data/voc.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from weclip_tpu.cam.gradcam import gradcam_batch
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import Config
+from weclip_tpu.models import heads
+from weclip_tpu.models.clip import vit
+from weclip_tpu.ops.resize import resize_bilinear
+from weclip_tpu.refine import affinity as aff
+from weclip_tpu.refine.par import par_refine
+
+
+class Batch(NamedTuple):
+    """One training/eval step's inputs (all device arrays)."""
+    img: jax.Array            # (B, 3, H, W) normalized image, padded
+    pos_emb: jax.Array        # (B or 1, L, D) per-image positional embedding
+    valid: jax.Array          # (B, L) token validity (CLS first)
+    gh: jax.Array             # (B,) valid grid heights
+    gw: jax.Array             # (B,) valid grid widths
+    present_mask: jax.Array   # (B, C_fg) bool image-level class set
+
+
+class ForwardOutputs(NamedTuple):
+    seg: jax.Array            # (B, P, num_classes) decoder logits (grid res)
+    cam_labels: jax.Array     # (B, H, W) int32 pseudo labels (train path)
+    attn_pred: jax.Array      # (B, P, P) learned Gram affinity
+    cams_refined: jax.Array   # (B, C_fg, P) refined CAMs (pre-PAR, diagnostics)
+
+
+def keep_attn_layers(cfg: Config) -> int:
+    """How many *frozen* attention maps downstream fusion needs."""
+    return max(cfg.cam.attn_fuse_layers, cfg.cam.seg_trans_layers) - 1
+
+
+def backbone_and_heads(
+    params: Dict[str, Any],
+    frozen: Dict[str, Any],
+    batch: Batch,
+    cfg: Config,
+    dropout_rng: Optional[jax.Array],
+    policy: precision.Policy,
+):
+    """Frozen CLIP forward + fuse/decoder/affinity heads.
+
+    Returns (feats, head_out, attn_pred, valid_p)."""
+    feats = vit.vision_forward_frozen(
+        frozen["visual"], batch.img, batch.pos_emb, batch.valid,
+        cfg.clip, keep_attn=keep_attn_layers(cfg), policy=policy)
+    layer_tokens = feats.layer_tokens[:, :, 1:, :]            # CLS dropped
+    valid_p = batch.valid[:, 1:].astype(jnp.float32)
+    head_out = heads.head_forward(params["head"], layer_tokens,
+                                  dropout_rng=dropout_rng,
+                                  valid_p=batch.valid[:, 1:], policy=policy)
+    attn_pred = aff.gram_affinity(head_out.fused, valid_p)
+    return feats, head_out, attn_pred, valid_p
+
+
+def pseudo_labels(
+    frozen: Dict[str, Any],
+    feats: vit.VisionFeatures,
+    attn_pred: jax.Array,
+    batch: Batch,
+    cfg: Config,
+    require_seg_trans: jax.Array,      # bool scalar (iter > threshold or val)
+    out_hw: Tuple[int, int],
+    policy: precision.Policy,
+) -> Tuple[jax.Array, jax.Array]:
+    """On-device CAM -> walk -> PAR pseudo-label chain (train-crop shapes).
+
+    Returns (cam_labels (B, H, W) int32, cams_refined (B, C_fg, P)).
+    """
+    b = batch.img.shape[0]
+    h, w = out_hw
+    g0, g1 = h // cfg.clip.patch_size, w // cfg.clip.patch_size
+    num_fg = cfg.dataset.num_classes - 1
+    num_bg = frozen["bg_text"].shape[0]
+
+    # ---- GradCAM over all fg classes (cam/gradcam.py) --------------------
+    text_features = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], axis=0)
+    text_mask = jnp.concatenate(
+        [batch.present_mask.astype(bool),
+         jnp.ones((b, num_bg), bool)], axis=1)
+    x11 = feats.layer_tokens[-1]                              # input to block 11
+    cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"], x11,
+                            text_features, text_mask, batch.valid,
+                            num_fg, cfg.clip, policy)
+
+    # ---- attention fusion (plain vs learned-affinity-gated) --------------
+    valid_p = batch.valid[:, 1:].astype(jnp.float32)
+    seg_attn = jax.lax.stop_gradient(attn_pred)
+    fused_attn = jax.lax.cond(
+        require_seg_trans,
+        lambda: aff.fuse_attention_gated(feats.layer_attn, cam_out.attn_last,
+                                         seg_attn, cfg.cam.seg_trans_layers,
+                                         valid_p),
+        lambda: aff.fuse_attention_plain(feats.layer_attn, cam_out.attn_last,
+                                         cfg.cam.attn_fuse_layers))
+
+    # ---- Sinkhorn transition + box-masked random walk --------------------
+    valid_pb = batch.valid[:, 1:]
+
+    def walk_one(cams_i, fused_i, valid_i, gh_i, gw_i):
+        trans = aff.sinkhorn_transition(fused_i, valid_i,
+                                        rounds=cfg.cam.sinkhorn_iters)
+        vg = valid_i.reshape(g0, g1)
+        return aff.random_walk_cams(cams_i, trans, vg, gh_i, gw_i,
+                                    cfg.cam.bbox_threshold)
+
+    refined = jax.vmap(walk_one)(cam_out.cams, fused_attn, valid_pb,
+                                 batch.gh, batch.gw)          # (B, C_fg, P)
+    refined = jax.lax.stop_gradient(refined)
+
+    # ---- normalize + upsample + bg + PAR + argmax -------------------------
+    # (clip_tool.py:202-216, model_attn_aff_voc.py:160-171)
+    from weclip_tpu.cam.gradcam import _minmax_valid
+
+    def norm_one(c, v):
+        return _minmax_valid(c, v.astype(bool))
+
+    normed = jax.vmap(jax.vmap(norm_one, in_axes=(0, None)))(refined, valid_pb)
+    cam_hw = resize_bilinear(normed.reshape(b, num_fg, g0, g1), h, w)
+
+    present = batch.present_mask.astype(jnp.float32)[:, :, None, None]
+    fg_scores = jnp.where(present > 0, cam_hw, -1.0)
+    max_present = jnp.max(jnp.where(present > 0, cam_hw, 0.0), axis=1, keepdims=True)
+    bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
+    stack = jnp.concatenate([bg_score, fg_scores], axis=1)    # (B, 1+C_fg, H, W)
+
+    par_out = par_refine(batch.img, stack, cfg.par)
+    cam_labels = jnp.argmax(par_out, axis=1).astype(jnp.int32)
+    return cam_labels, refined
+
+
+def forward_train(
+    params: Dict[str, Any],
+    frozen: Dict[str, Any],
+    batch: Batch,
+    cfg: Config,
+    require_seg_trans: jax.Array,
+    dropout_rng: Optional[jax.Array] = None,
+    policy: precision.Policy = precision.DEFAULT,
+    with_pseudo: bool = True,
+) -> ForwardOutputs:
+    """Full training-mode forward (model_attn_aff_voc.py:107-175).
+
+    Fixed crop shapes: H = W = crop_size, no padding (valid all-true).
+    """
+    feats, head_out, attn_pred, _ = backbone_and_heads(
+        params, frozen, batch, cfg, dropout_rng, policy)
+    h, w = batch.img.shape[-2:]
+    if with_pseudo:
+        cam_labels, refined = pseudo_labels(
+            frozen, feats, attn_pred, batch, cfg, require_seg_trans,
+            (h, w), policy)
+    else:
+        b = batch.img.shape[0]
+        cam_labels = jnp.zeros((b, h, w), jnp.int32)
+        refined = jnp.zeros((b, cfg.dataset.num_classes - 1,
+                             batch.valid.shape[1] - 1), jnp.float32)
+    return ForwardOutputs(head_out.seg, cam_labels, attn_pred, refined)
+
+
+# ---------------------------------------------------------------------------
+# parameter construction
+# ---------------------------------------------------------------------------
+
+def init_trainable_params(rng: jax.Array, cfg: Config) -> Dict[str, Any]:
+    """Only fuse + decoder train (model_attn_aff_voc.py:94-103); CLIP stays
+    frozen and block-11 grads exist solely for CAM."""
+    return {
+        "head": heads.init_head_params(
+            rng,
+            n_layers=cfg.clip.vision_layers - 1,
+            in_dim=cfg.clip.vision_width,
+            embed=cfg.clip.embedding_dim,
+            dec_layers=3,
+            num_classes=cfg.dataset.num_classes,
+        )
+    }
+
+
+def build_frozen_state(clip_params: Dict[str, Any], fg_text, bg_text) -> Dict[str, Any]:
+    """Frozen constants: CLIP weights + precomputed class text embeddings."""
+    return {
+        "visual": clip_params["visual"],
+        "logit_scale": jnp.asarray(clip_params["logit_scale"]),
+        "fg_text": jnp.asarray(fg_text),
+        "bg_text": jnp.asarray(bg_text),
+    }

@@ -1,0 +1,88 @@
+"""Device mesh, sharding specs and collective helpers.
+
+The reference has *no* distributed execution (SURVEY §2.10-2.11: the
+"dist_" trainer pins one GPU, scripts/dist_clip_voc.py:5).  This module is
+the single owner of all cross-chip structure for the TPU build:
+
+- a 2-D ``(data, model)`` mesh over the local devices (v5e-8 pods and the
+  CPU fake-device test mesh look identical to callers),
+- NamedShardings for batch-sharded arrays and replicated parameters,
+- collective helpers (psum for loss/metric reduction, all_gather for eval
+  histograms) that ride ICI within a slice; XLA routes DCN transparently
+  for multi-slice meshes.
+
+Everything downstream (train step, msc-flip TTA) expresses parallelism by
+sharding the leading batch axis over ``data``; a ``model`` axis is reserved
+for tensor-parallel extensions (e.g. CoMer-scale backbones).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data_parallel: int = -1,
+              model_parallel: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None,
+              data_axis: str = "data",
+              model_axis: str = "model") -> Mesh:
+    """Build a (data, model) mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_parallel == -1:
+        assert n % model_parallel == 0, (n, model_parallel)
+        data_parallel = n // model_parallel
+    used = data_parallel * model_parallel
+    assert used <= n, f"need {used} devices, have {n}"
+    arr = np.asarray(devices[:used]).reshape(data_parallel, model_parallel)
+    return Mesh(arr, (data_axis, model_axis))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading axis over the data axis, replicate the rest."""
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree of host arrays with the batch axis sharded."""
+    def _put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_batch_size(mesh: Mesh, global_batch: int) -> int:
+    ndata = mesh.shape[mesh.axis_names[0]]
+    assert global_batch % ndata == 0, (global_batch, ndata)
+    return global_batch // ndata
+
+
+# ---------------------------------------------------------------------------
+# Collective helpers (for use inside shard_map'ed functions)
+# ---------------------------------------------------------------------------
+
+def psum(x, axis_name: str = "data"):
+    return jax.lax.psum(x, axis_name)
+
+
+def pmean(x, axis_name: str = "data"):
+    return jax.lax.pmean(x, axis_name)
+
+
+def all_gather(x, axis_name: str = "data", axis: int = 0):
+    return jax.lax.all_gather(x, axis_name, axis=axis, tiled=True)

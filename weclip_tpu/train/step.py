@@ -1,0 +1,85 @@
+"""The jitted training step: forward -> pseudo-labels -> losses -> update.
+
+One XLA program per step replaces the reference's hot loop
+(scripts/dist_clip_voc.py:238-267), which round-trips host<->device dozens of
+times per iteration.  Data parallelism falls out of sharding the batch axis
+over the mesh's ``data`` axis (weclip_tpu/parallel/mesh.py) — XLA inserts the
+gradient all-reduce automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import Config
+from weclip_tpu.models import weclip
+from weclip_tpu.ops.resize import resize_bilinear
+from weclip_tpu.train import losses
+from weclip_tpu.train.optimizer import make_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jax.Array
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    seg_loss: jax.Array
+    attn_loss: jax.Array
+    pseudo_acc: jax.Array     # fraction of pixels where argmax(seg) == pseudo label
+
+
+def create_train_state(rng: jax.Array, cfg: Config) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = weclip.init_trainable_params(rng, cfg)
+    tx = make_optimizer(cfg.optimizer, cfg.train.max_iters)
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(cfg: Config, tx: optax.GradientTransformation,
+                    policy: precision.Policy = precision.DEFAULT):
+    crop = cfg.dataset.crop_size
+    g = crop // cfg.clip.patch_size
+    rmask = jnp.asarray(losses.radius_mask(g, g, cfg.train.radius))
+
+    def loss_fn(params, frozen, batch: weclip.Batch, require_seg_trans,
+                dropout_rng):
+        out = weclip.forward_train(params, frozen, batch, cfg,
+                                   require_seg_trans, dropout_rng, policy)
+        b = batch.img.shape[0]
+        seg_grid = out.seg.reshape(b, g, g, -1).transpose(0, 3, 1, 2)
+        seg_hw = resize_bilinear(seg_grid, crop, crop)        # (B,K,H,W)
+
+        pseudo = jax.lax.stop_gradient(out.cam_labels)
+        sloss = losses.seg_loss(seg_hw, pseudo, cfg.dataset.ignore_index)
+        aff_label = losses.cams_to_affinity_label(
+            pseudo, rmask, cfg.dataset.ignore_index, cfg.clip.patch_size)
+        aloss, _, _ = losses.aff_loss(out.attn_pred, aff_label)
+        total = sloss + cfg.train.attn_loss_weight * aloss
+
+        pred = jnp.argmax(seg_hw, axis=1)
+        pacc = jnp.mean((pred == pseudo).astype(jnp.float32))
+        return total, StepMetrics(total, sloss, aloss, pacc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, frozen, batch: weclip.Batch,
+                   rng: jax.Array) -> Tuple[TrainState, StepMetrics]:
+        # reference increments iter_num at the top of forward and compares
+        # iter_num > 15000 (model_attn_aff_voc.py:111,146)
+        require_seg_trans = (state.step + 1) > cfg.train.seg_trans_start_iter
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, batch, require_seg_trans, dropout_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
