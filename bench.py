@@ -1,0 +1,109 @@
+"""Headline benchmark: msc-flip VOC inference throughput at 512px.
+
+Measures steady-state images/sec/chip through the batched TTA engine —
+scale 1.0 with the full CAM -> walk -> PAR pseudo-label chain + hflip,
+scale 0.75 seg-only + hflip, on-device scale fusion and argmax — i.e. the
+work test_msc_flip_voc.py does per image, minus the work it provably
+discards (CAMs of flipped/0.75 passes).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...}
+
+Baseline: the reference publishes no throughput anywhere (BASELINE.md).
+A100_EST_IMGS_PER_SEC is a derived estimate of the reference pipeline on
+one A100: the per-image serial loop does 2 scale passes of a fp16 ViT-B/16
+(2-image batches), a per-class GradCAM backward with GPU->CPU->GPU
+round-trips per class (~2.6 classes/image incl. the bg quirk), 20 PAR
+iterations at original resolution, and host-side cv2/PIL work per class;
+comparable single-image CLIP-dense pipelines run ~2-4 img/s on A100-class
+hardware. Estimate used: 3.0 img/s. The north-star target is >= 5x that
+(BASELINE.json), i.e. vs_baseline >= 5.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_EST_IMGS_PER_SEC = 3.0
+
+
+def main():
+    import jax
+    from weclip_tpu.core import precision
+    from weclip_tpu.core.config import Config
+    from weclip_tpu.evalx import metrics
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+    from weclip_tpu.models import weclip
+    from weclip_tpu.models.clip import vit
+
+    cfg = Config()                                  # ViT-B/16, VOC, 21 classes
+    batch = cfg.eval.batch_images
+    rng = np.random.default_rng(0)
+
+    key = jax.random.PRNGKey(0)
+    clip_params = vit.init_clip_params(key, cfg.clip)
+    nfg = cfg.dataset.num_classes - 1
+    fg = rng.standard_normal((nfg, cfg.clip.embed_dim)).astype(np.float32)
+    bg = rng.standard_normal((25, cfg.clip.embed_dim)).astype(np.float32)
+    fg /= np.linalg.norm(fg, axis=-1, keepdims=True)
+    bg /= np.linalg.norm(bg, axis=-1, keepdims=True)
+    frozen = weclip.build_frozen_state(clip_params, fg, bg)
+    params = weclip.init_trainable_params(jax.random.fold_in(key, 1), cfg)
+
+    # synthetic VOC-like val set (typical size 375x500, <= 500 per side)
+    sizes = [(375, 500), (500, 375), (333, 500), (500, 500)]
+    examples = []
+    for i in range(batch):
+        oh, ow = sizes[i % len(sizes)]
+        present = np.zeros(nfg, bool)
+        present[rng.integers(0, nfg)] = True
+        present[nfg - 1] = True                       # bg quirk class
+        examples.append({
+            "img": rng.standard_normal((3, oh, ow)).astype(np.float32),
+            "label": rng.integers(0, 21, (oh, ow)).astype(np.int32),
+            "present_mask": present,
+        })
+
+    prep = make_prep(cfg, max_ori=512, resize_long=cfg.eval.resize_long)
+    pe = np.asarray(clip_params["visual"]["positional_embedding"])
+    policy = precision.make_policy("bfloat16")
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
+
+    sb1, sb2, ops, labels, presents = ev.build_batch(examples)
+    k = cfg.dataset.num_classes
+    hists = (metrics.zero_hist(k),) * 3
+
+    def one_round(hists):
+        seg_single, seg_avg1, cam_labels = ev.scale1(params, frozen, sb1,
+                                                     presents, ops)
+        seg_avg2 = ev.scale2(params, frozen, sb2, presents)
+        ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
+                                   cam_labels, labels, ops, hists)
+        return ps, pm, hists
+
+    # warmup (compile)
+    ps, pm, hists = one_round(hists)
+    jax.block_until_ready(ps)
+
+    rounds = 6
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        ps, pm, hists = one_round(hists)
+    jax.block_until_ready(ps)
+    dt = time.perf_counter() - t0
+
+    n_dev = max(jax.device_count(), 1)
+    imgs_per_sec_per_chip = rounds * batch / dt / n_dev
+    print(json.dumps({
+        "metric": "mscflip_voc_inference_512px",
+        "value": round(imgs_per_sec_per_chip, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / A100_EST_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""ViT-CoMer branch: shapes, zero-init identity property, gradient flow,
+and the WeCLIP+CoMer train step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests import tiny
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import ComerConfig
+from weclip_tpu.models import weclip
+from weclip_tpu.models.comer import comer_forward, init_comer_params
+
+
+def small_comer_cfg():
+    return ComerConfig(enabled=True, stem_width=8, pyramid_dims=(16, 16, 16),
+                       mrfp_dilations=(1, 2), cti_heads=2,
+                       interaction_indexes=(2, 5))
+
+
+def test_comer_forward_shapes_and_zero_init():
+    cfg = small_comer_cfg()
+    rng = jax.random.PRNGKey(0)
+    p = init_comer_params(rng, cfg, vit_width=32, embed=16)
+    b, g = 2, 4
+    img = jax.random.normal(rng, (b, 3, 64, 64))
+    vit_tokens = jax.random.normal(rng, (6, b, g * g, 32))
+    valid = jnp.ones((b, g * g))
+    out = comer_forward(p, img, vit_tokens, valid, cfg, precision.FP32)
+    assert out.shape == (b, g * g, 16)
+    # zero-init output projection: the branch contributes exactly 0 at init
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_comer_masked_tokens_zero():
+    cfg = small_comer_cfg()
+    p = init_comer_params(jax.random.PRNGKey(1), cfg, vit_width=32, embed=16)
+    # make the output projection nonzero so masking is observable
+    p["out_w"] = jnp.eye(16)
+    b, g = 1, 4
+    img = jax.random.normal(jax.random.PRNGKey(2), (b, 3, 64, 64))
+    vit_tokens = jax.random.normal(jax.random.PRNGKey(3), (6, b, g * g, 32))
+    valid = np.zeros((b, g * g))
+    valid[:, :8] = 1
+    out = np.asarray(comer_forward(p, img, vit_tokens, jnp.asarray(valid),
+                                   cfg, precision.FP32))
+    assert np.all(out[:, 8:] == 0)
+    assert np.any(out[:, :8] != 0)
+
+
+def test_weclip_comer_train_step():
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(cfg, comer=small_comer_cfg())
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = tiny.tiny_batch(cfg, clip_params)
+
+    from weclip_tpu.train import step as train_step_mod
+    state, tx = train_step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    assert "comer" in state.params
+    step_fn = train_step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+    # the zero-init output gate means only out_w/out_b receive gradients at
+    # step 0 (everything upstream multiplies by out_w == 0); check the gate
+    out_w_before = np.asarray(state.params["comer"]["out_w"]).copy()
+    state2, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
+    out_w_after = np.asarray(state2.params["comer"]["out_w"])
+    assert not np.array_equal(out_w_before, out_w_after)

@@ -1,0 +1,85 @@
+"""Dense CRF: the native permutohedral filter vs brute-force Gaussian
+filtering, and mean-field behavior checks."""
+
+import numpy as np
+import pytest
+
+from weclip_tpu.refine.crf import DenseCRF, permutohedral_filter
+
+
+def brute_force_gauss(features, values):
+    """O(n^2) exact Gaussian filter: out_i = sum_j exp(-|f_i-f_j|^2/2) v_j."""
+    d2 = ((features[:, None, :] - features[None, :, :]) ** 2).sum(-1)
+    k = np.exp(-0.5 * d2)
+    return k @ values
+
+
+def test_permutohedral_matches_bruteforce_2d(rng):
+    n = 300
+    feats = rng.uniform(0, 6, (n, 2)).astype(np.float32)
+    vals = rng.standard_normal((n, 4)).astype(np.float32)
+    ours = permutohedral_filter(feats, vals)
+    ref = brute_force_gauss(feats, vals)
+    # the lattice is the same approximation pydensecrf uses: high correlation
+    # with the true Gaussian, slightly different effective bandwidth
+    cc = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert cc > 0.99, cc
+    rel = np.abs(ours - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 0.4, np.median(rel)
+
+
+def test_permutohedral_5d(rng):
+    n = 200
+    feats = rng.uniform(0, 4, (n, 5)).astype(np.float32)
+    vals = rng.standard_normal((n, 2)).astype(np.float32)
+    ours = permutohedral_filter(feats, vals)
+    ref = brute_force_gauss(feats, vals)
+    cc = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
+    assert cc > 0.95, cc          # lattice quality degrades with dimension
+
+
+def _synthetic_case(rng, h=40, w=40, c=3):
+    """Two-region image with noisy unaries."""
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, : w // 2] = (200, 30, 30)
+    img[:, w // 2:] = (30, 30, 200)
+    gt = np.zeros((h, w), np.int64)
+    gt[:, w // 2:] = 1
+    probs = np.full((c, h, w), 0.05, np.float32)
+    for l in range(2):
+        probs[l][gt == l] = 0.8
+    # inject label noise
+    noise = rng.random((h, w)) < 0.15
+    flip = probs[0].copy()
+    probs[0][noise] = probs[1][noise]
+    probs[1][noise] = flip[noise]
+    probs /= probs.sum(0, keepdims=True)
+    return img, probs, gt
+
+
+def test_dense_crf_denoises(rng):
+    img, probs, gt = _synthetic_case(rng)
+    crf = DenseCRF(iter_max=10, pos_xy_std=3, pos_w=3,
+                   bi_xy_std=16, bi_rgb_std=5, bi_w=4)
+    out = crf(img, probs)
+    np.testing.assert_allclose(out.sum(0), 1.0, atol=1e-4)
+    acc_before = (probs.argmax(0) == gt).mean()
+    acc_after = (out.argmax(0) == gt).mean()
+    assert acc_after > acc_before
+    assert acc_after > 0.98, (acc_before, acc_after)
+
+
+def test_jax_mean_field_denoises(rng):
+    import jax.numpy as jnp
+    from weclip_tpu.core.config import CrfConfig
+    from weclip_tpu.refine.crf import mean_field_crf_jax
+    img, probs, gt = _synthetic_case(rng)
+    cfg = CrfConfig(iter_max=5, pos_xy_std=3, pos_w=3,
+                    bi_xy_std=16, bi_rgb_std=5, bi_w=4)
+    out = np.asarray(mean_field_crf_jax(
+        jnp.asarray(probs), jnp.asarray(img.transpose(2, 0, 1), jnp.float32),
+        cfg, bi_stride=4))
+    np.testing.assert_allclose(out.sum(0), 1.0, atol=1e-3)
+    acc_before = (probs.argmax(0) == gt).mean()
+    acc_after = (out.argmax(0) == gt).mean()
+    assert acc_after > acc_before, (acc_before, acc_after)

@@ -1,0 +1,170 @@
+"""The batched, padded msc-flip eval engine must reproduce, image by image,
+what an exact-shape (unpadded, unbatched) computation produces — validating
+the whole canvas/validity-mask machinery end-to-end."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests import tiny
+from weclip_tpu.cam.gradcam import _minmax_valid, gradcam_batch
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import ParConfig
+from weclip_tpu.evalx import metrics
+from weclip_tpu.evalx.runner import Evaluator, make_prep
+from weclip_tpu.models import weclip
+from weclip_tpu.models.clip import vit
+from weclip_tpu.ops.resize import resize_bilinear
+from weclip_tpu.refine import affinity as aff
+from weclip_tpu.refine.par import par_refine
+
+PATCH = 16
+
+
+class FakeDataset:
+    """Synthetic 'original-size' images + labels."""
+
+    def __init__(self, cfg, sizes, seed=0):
+        rng = np.random.default_rng(seed)
+        self.examples = []
+        nfg = cfg.dataset.num_classes - 1
+        for oh, ow in sizes:
+            img = rng.standard_normal((3, oh, ow)).astype(np.float32)
+            label = rng.integers(0, cfg.dataset.num_classes, (oh, ow)).astype(np.int32)
+            present = np.zeros(nfg, bool)
+            present[0] = True
+            present[nfg - 1] = True
+            self.examples.append({"img": img, "label": label,
+                                  "present_mask": present})
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, i):
+        return self.examples[i]
+
+
+def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
+    """Unpadded, per-image msc-flip evaluation using the library primitives
+    at exact shapes (masks all-true) — the 'ground truth' for the engine."""
+    import cv2
+    img = ex["img"]
+    oh, ow = img.shape[1:]
+    ratio = resize_long / max(oh, ow)
+    h1, w1 = int(oh * ratio), int(ow * ratio)
+
+    def forward(img_chw):
+        h, w = img_chw.shape[1:]
+        gh, gw = h // PATCH, w // PATCH
+        x = img_chw[None, :, :gh * PATCH, :gw * PATCH]
+        x2 = jnp.concatenate([x, jnp.flip(x, -1)])
+        pe = vit.build_pos_emb(params_visual, gh, gw)[None]
+        valid = jnp.ones((2, gh * gw + 1), bool)
+        batch = weclip.Batch(jnp.asarray(x2), jnp.concatenate([pe, pe]), valid,
+                             jnp.full((2,), gh, jnp.int32),
+                             jnp.full((2,), gw, jnp.int32),
+                             jnp.asarray(np.stack([ex["present_mask"]] * 2)))
+        feats, head_out, attn_pred, _ = weclip.backbone_and_heads(
+            {"head": params["head"]}, frozen, batch, cfg, None, precision.FP32)
+        k = cfg.dataset.num_classes
+        seg = head_out.seg.reshape(2, gh, gw, k).transpose(0, 3, 1, 2)
+        seg_avg = (seg[0] + jnp.flip(seg[1], -1)) / 2.0
+        return feats, attn_pred, seg[0], seg_avg, (gh, gw), batch
+
+    params_visual = frozen["visual"]
+    # hmm: build_pos_emb reads pretrained table from visual params
+    feats, attn_pred, seg_single, seg_avg1, (gh1, gw1), batch = forward(
+        jnp.asarray(cv2_resize(img, h1, w1)))
+
+    # CAM chain (unflipped only)
+    nfg = cfg.dataset.num_classes - 1
+    text = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], 0)
+    tmask = jnp.concatenate([jnp.asarray(ex["present_mask"])[None],
+                             jnp.ones((1, frozen["bg_text"].shape[0]), bool)], 1)
+    valid1 = jnp.ones((1, gh1 * gw1 + 1), bool)
+    cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
+                            feats.layer_tokens[-1][:1], text, tmask, valid1,
+                            nfg, cfg.clip, precision.FP32)
+    fused = aff.fuse_attention_gated(feats.layer_attn[:, :1],
+                                     cam_out.attn_last, attn_pred[:1],
+                                     cfg.cam.seg_trans_layers,
+                                     jnp.ones((1, gh1 * gw1)))
+    trans = aff.sinkhorn_transition(fused[0], jnp.ones((gh1 * gw1,), bool),
+                                    cfg.cam.sinkhorn_iters)
+    refined = aff.random_walk_cams(cam_out.cams[0], trans,
+                                   jnp.ones((gh1, gw1), bool),
+                                   jnp.int32(gh1), jnp.int32(gw1),
+                                   cfg.cam.bbox_threshold)
+    normed = jax.vmap(lambda c: _minmax_valid(c, jnp.ones((gh1 * gw1,), bool)))(refined)
+    cam_ori = resize_bilinear(normed.reshape(nfg, gh1, gw1), oh, ow)[None]
+    present = jnp.asarray(ex["present_mask"], jnp.float32)[None, :, None, None]
+    fg_scores = jnp.where(present > 0, cam_ori, -1.0)
+    maxp = jnp.max(jnp.where(present > 0, cam_ori, 0.0), axis=1, keepdims=True)
+    stack = jnp.concatenate([(1.0 - maxp) ** cfg.cam.bg_exponent, fg_scores], 1)
+    img_ori = resize_bilinear(jnp.asarray(cv2_resize(img, h1, w1))[None],
+                              oh, ow, align_corners=True)
+    cam_label = jnp.argmax(par_refine(img_ori, stack, cfg.par), axis=1)[0]
+
+    # scale 0.75
+    h2, w2 = int(h1 * scales[1]), int(w1 * scales[1])
+    _, _, _, seg_avg2, (gh2, gw2), _ = forward(jnp.asarray(cv2_resize(img, h2, w2)))
+    seg2_on1 = resize_bilinear(seg_avg2, gh1, gw1)
+    msc = (seg_avg1 + seg2_on1) / 2.0
+
+    pred_single = jnp.argmax(resize_bilinear(seg_single, oh, ow), axis=0)
+    pred_msc = jnp.argmax(resize_bilinear(msc, oh, ow), axis=0)
+    return (np.asarray(pred_single), np.asarray(pred_msc),
+            np.asarray(cam_label))
+
+
+def cv2_resize(img_chw, h, w):
+    import cv2
+    if img_chw.shape[1:] == (h, w):
+        return np.asarray(img_chw, np.float32)
+    return cv2.resize(np.asarray(img_chw, np.float32).transpose(1, 2, 0),
+                      (w, h), interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
+
+
+def test_batched_engine_matches_exact():
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(cfg, par=ParConfig(dilations=(1, 2), num_iter=3),
+                              eval=dataclasses.replace(cfg.eval, batch_images=2))
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    params = weclip.init_trainable_params(jax.random.PRNGKey(5), cfg)
+
+    sizes = [(40, 64), (64, 56)]
+    ds = FakeDataset(cfg, sizes)
+    prep = make_prep(cfg, max_ori=64, resize_long=64)
+    pe_table = np.asarray(clip_params["visual"]["positional_embedding"])
+    ev = Evaluator(cfg, prep, pe_table, policy=precision.FP32)
+
+    # run batched engine manually to capture predictions
+    examples = [ds[0], ds[1]]
+    sb1, sb2, ops, labels, presents = ev.build_batch(examples)
+    seg_single, seg_avg1, cam_labels = ev.scale1(params, frozen, sb1,
+                                                 presents, ops)
+    seg_avg2 = ev.scale2(params, frozen, sb2, presents)
+    k = cfg.dataset.num_classes
+    hists = (metrics.zero_hist(k),) * 3
+    pred_single, pred_msc, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
+                                              cam_labels, labels, ops, hists)
+
+    for i, (oh, ow) in enumerate(sizes):
+        e_single, e_msc, e_cam = exact_eval_one(
+            params, frozen, cfg, ds[i], 64, cfg.eval.scales)
+        np.testing.assert_array_equal(
+            np.asarray(pred_single)[i, :oh, :ow], e_single,
+            err_msg=f"single pred, image {i}")
+        np.testing.assert_array_equal(
+            np.asarray(pred_msc)[i, :oh, :ow], e_msc,
+            err_msg=f"msc pred, image {i}")
+        np.testing.assert_array_equal(
+            np.asarray(cam_labels)[i, :oh, :ow], e_cam,
+            err_msg=f"cam label, image {i}")
+
+    # hist totals: every non-ignored gt pixel counted exactly once
+    total = sum((np.asarray(l) != 255).sum() for l in (ds[0]["label"], ds[1]["label"]))
+    for h in hists:
+        assert np.asarray(h).sum() == total

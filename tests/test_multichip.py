@@ -1,0 +1,74 @@
+"""Data-parallel correctness: the same batch stepped on a 1-device layout
+and sharded over the full 8-device CPU mesh must produce identical losses
+and parameter updates (XLA inserts the collectives; math must not change)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests import tiny
+from weclip_tpu.core import precision
+from weclip_tpu.models import weclip
+from weclip_tpu.parallel import mesh as meshlib
+from weclip_tpu.train import step as step_mod
+
+
+def _batch8(cfg, clip_params):
+    return tiny.tiny_batch(cfg, clip_params, batch=8)
+
+
+def _run(cfg, frozen, batch, shard_mesh=None):
+    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    if shard_mesh is not None:
+        frozen = meshlib.replicate(shard_mesh, frozen)
+        state = step_mod.TrainState(
+            meshlib.replicate(shard_mesh, state.params),
+            meshlib.replicate(shard_mesh, state.opt_state), state.step)
+        arrays = {f: np.asarray(getattr(batch, f))
+                  for f in ("img", "valid", "gh", "gw", "present_mask")}
+        dev = meshlib.shard_batch(shard_mesh, arrays)
+        batch = weclip.Batch(
+            img=dev["img"],
+            pos_emb=meshlib.replicate(shard_mesh, np.asarray(batch.pos_emb)),
+            valid=dev["valid"], gh=dev["gh"], gw=dev["gw"],
+            present_mask=dev["present_mask"])
+    step_fn = step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+    state2, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(7))
+    return float(metrics.loss), jax.tree_util.tree_map(np.asarray,
+                                                       state2.params)
+
+
+def test_sharded_step_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+    cfg = tiny.tiny_config()
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = _batch8(cfg, clip_params)
+
+    loss_1, params_1 = _run(cfg, frozen, batch, shard_mesh=None)
+    mesh = meshlib.make_mesh(data_parallel=8)
+    loss_8, params_8 = _run(cfg, frozen, batch, shard_mesh=mesh)
+
+    np.testing.assert_allclose(loss_1, loss_8, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(params_1)
+    flat8 = jax.tree_util.tree_leaves(params_8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-7)
+
+
+def test_metric_hist_allgather():
+    """Eval histograms accumulate identically when batches are sharded."""
+    from weclip_tpu.evalx.metrics import confusion_update, zero_hist
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 6, (8, 16, 16)).astype(np.int32)
+    gt[0, 0] = 255
+    pred = rng.integers(0, 6, (8, 16, 16)).astype(np.int32)
+
+    h_all = confusion_update(zero_hist(6), jnp.asarray(gt), jnp.asarray(pred),
+                             num_classes=6)
+    mesh = meshlib.make_mesh(data_parallel=8)
+    gts = jax.device_put(gt, meshlib.batch_sharding(mesh, 3))
+    preds = jax.device_put(pred, meshlib.batch_sharding(mesh, 3))
+    h_sharded = confusion_update(zero_hist(6), gts, preds, num_classes=6)
+    np.testing.assert_array_equal(np.asarray(h_all), np.asarray(h_sharded))

@@ -1,0 +1,96 @@
+"""Shared CLI plumbing: logging, work-dir layout, config/override parsing.
+
+Parity with the reference drivers' flags (scripts/dist_clip_voc.py:26-34,
+test_msc_flip_voc.py:19-28) plus resume/precision knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import datetime
+import logging
+import os
+import sys
+
+from weclip_tpu.core.config import Config, coco_config, load_config
+
+
+def setup_logger(filename: str | None = None):
+    fmt = logging.Formatter("%(asctime)s - %(filename)s - %(levelname)s: %(message)s")
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    ch = logging.StreamHandler(sys.stdout)
+    ch.setFormatter(fmt)
+    root.addHandler(ch)
+    if filename:
+        fh = logging.FileHandler(filename, mode="w")
+        fh.setFormatter(fmt)
+        root.addHandler(fh)
+
+
+def train_parser(default_config: str | None = None) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=default_config, type=str)
+    p.add_argument("--work_dir", default=None, type=str)
+    p.add_argument("--radius", default=None, type=int)
+    p.add_argument("--crop_size", default=None, type=int)
+    p.add_argument("--max_iters", default=None, type=int)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--precision", default=None, choices=["bfloat16", "float32"])
+    return p
+
+
+def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=default_config, type=str)
+    p.add_argument("--work_dir", default="results", type=str)
+    p.add_argument("--bkg_score", default=0.45, type=float)
+    p.add_argument("--resize_long", default=512, type=int)
+    p.add_argument("--eval_set", default="val", type=str)
+    p.add_argument("--model_path", default=None, type=str)
+    p.add_argument("--crf", action="store_true",
+                   help="dense-CRF post-processing (the reference defines "
+                        "crf_proc but ships with the call commented out)")
+    p.add_argument("--max_images", default=None, type=int)
+    p.add_argument("--precision", default=None, choices=["bfloat16", "float32"])
+    p.add_argument("--save_preds", action="store_true",
+                   help="write per-image prediction PNGs (+ colormap) like "
+                        "the reference's prediction/ and prediction_cmap/ dirs")
+    return p
+
+
+def apply_train_args(cfg: Config, args) -> Config:
+    ds = cfg.dataset
+    tr = cfg.train
+    if args.crop_size:
+        ds = dataclasses.replace(ds, crop_size=args.crop_size)
+    if args.radius:
+        tr = dataclasses.replace(tr, radius=args.radius)
+    if args.max_iters:
+        tr = dataclasses.replace(tr, max_iters=args.max_iters)
+    wd = cfg.work_dir
+    if args.work_dir:
+        wd = dataclasses.replace(wd, dir=args.work_dir)
+    pr = cfg.precision
+    if args.precision:
+        pr = dataclasses.replace(pr, compute_dtype=args.precision)
+    # timestamped checkpoint dirs (dist_clip_voc.py:308-316)
+    ts = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M")
+    wd = dataclasses.replace(wd, ckpt_dir=os.path.join(wd.ckpt_dir, ts))
+    return dataclasses.replace(cfg, dataset=ds, train=tr, work_dir=wd,
+                               precision=pr)
+
+
+def load_train_config(args, dataset: str) -> Config:
+    base = coco_config() if dataset == "coco" else Config()
+    cfg = load_config(args.config) if args.config else base
+    if dataset == "coco" and not args.config:
+        cfg = base
+    cfg = apply_train_args(cfg, args)
+    os.makedirs(os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir),
+                exist_ok=True)
+    setup_logger(os.path.join(
+        cfg.work_dir.dir,
+        datetime.datetime.now().strftime("%Y-%m-%d-%H-%M") + ".log"))
+    return cfg

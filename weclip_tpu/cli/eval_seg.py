@@ -1,0 +1,57 @@
+"""msc-flip inference for the fully-supervised seg variant — parity with
+test_msc_flip_seg.py (forward returns seg only; no CAM chain)."""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from weclip_tpu.cli import common
+
+log = logging.getLogger("weclip_tpu")
+
+
+def main():
+    args = common.eval_parser().parse_args()
+    common.setup_logger()
+    from weclip_tpu.core.config import Config, load_config
+    cfg = load_config(args.config) if args.config else Config()
+    if args.precision:
+        cfg = dataclasses.replace(
+            cfg, precision=dataclasses.replace(cfg.precision,
+                                               compute_dtype=args.precision))
+
+    import jax
+    from weclip_tpu.core import precision
+    from weclip_tpu.data.voc import VOCSegDataset
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+    from weclip_tpu.train import checkpoint
+    from weclip_tpu.train.step import create_train_state
+    from weclip_tpu.train.trainer import build_frozen
+
+    policy = precision.make_policy(cfg.precision.compute_dtype)
+    frozen, clip_params, cfg = build_frozen(cfg)
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+    params = state.params
+    if args.model_path:
+        params, _, step = checkpoint.restore(
+            args.model_path, template={"params": params, "step": np.asarray(0)})
+        log.info("restored step %d", step)
+
+    ds = VOCSegDataset(cfg.dataset, split=args.eval_set,
+                       stage="test" if "test" in args.eval_set else "val")
+    prep = make_prep(cfg, max_ori=512, resize_long=args.resize_long)
+    pe = np.asarray(clip_params["visual"]["positional_embedding"])
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=False, msc=True)
+    scores = ev.run(params, frozen, ds, max_images=args.max_images,
+                    progress=True, crf=args.crf)
+    log.info("segs score:\n%s", scores["seg"])
+    log.info("msc segs score:\n%s", scores["msc_seg"])
+    if "crf_seg" in scores:
+        log.info("crf segs score:\n%s", scores["crf_seg"])
+
+
+if __name__ == "__main__":
+    main()

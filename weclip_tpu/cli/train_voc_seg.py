@@ -1,0 +1,90 @@
+"""Fully-supervised VOC training for the seg variant (paper setup: 5.7M
+trainable params on GT masks; the reference ships only the model + eval
+driver for this configuration)."""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from weclip_tpu.cli import common
+
+log = logging.getLogger("weclip_tpu")
+
+
+def main():
+    args = common.train_parser().parse_args()
+    cfg = common.load_train_config(args, "voc")
+
+    from weclip_tpu.core import precision
+    from weclip_tpu.data.loader import PrefetchLoader
+    from weclip_tpu.data.voc import VOCBase, VOCClsDataset
+    from weclip_tpu.data import transforms
+    from weclip_tpu.models import weclip
+    from weclip_tpu.models.clip import vit
+    from weclip_tpu.parallel import mesh as meshlib
+    from weclip_tpu.train import checkpoint
+    from weclip_tpu.train.seg_step import create_seg_train_state, make_seg_train_step
+    from weclip_tpu.train.trainer import build_frozen
+
+    class VOCSegTrainDataset(VOCBase):
+        """GT-supervised crops (flip + crop with label, voc.py:216-251)."""
+
+        def __getitem__(self, idx):
+            import random
+            name = self.names[idx]
+            image = self.read_image(name).astype(np.float32)
+            label = self.read_label(name).astype(np.float32)
+            image, label = transforms.random_fliplr(image, label)
+            image = transforms.PhotoMetricDistortion()(image).astype(np.float32)
+            image, label, _ = transforms.random_crop(
+                image, self.cfg.crop_size, label,
+                ignore_index=self.cfg.ignore_index)
+            image = transforms.normalize_img(image)
+            return {"img": np.transpose(image, (2, 0, 1)).astype(np.float32),
+                    "label": label.astype(np.int32)}
+
+    policy = precision.make_policy(cfg.precision.compute_dtype)
+    mesh = meshlib.make_mesh(cfg.mesh.data_parallel, cfg.mesh.model_parallel)
+    frozen, clip_params, cfg = build_frozen(cfg)
+    frozen = meshlib.replicate(mesh, frozen)
+
+    ds = VOCSegTrainDataset(cfg.dataset, cfg.train.split)
+    loader = PrefetchLoader(ds, cfg.train.samples_per_gpu, seed=cfg.train.seed)
+    state, tx = create_seg_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    step_fn = make_seg_train_step(cfg, tx, policy)
+
+    grid = cfg.dataset.crop_size // cfg.clip.patch_size
+    pos_emb = meshlib.replicate(
+        mesh, np.asarray(vit.build_pos_emb(clip_params["visual"], grid, grid))[None])
+    l = grid * grid + 1
+    b = cfg.train.samples_per_gpu
+    valid = jax.device_put(jnp.ones((b, l), bool), meshlib.batch_sharding(mesh, 2))
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    import os
+    ckpt_dir = os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir)
+    it = iter(loader)
+    for n_iter in range(cfg.train.max_iters):
+        hb = next(it)
+        dev = meshlib.shard_batch(mesh, {"img": hb["img"], "label": hb["label"]})
+        batch = weclip.Batch(
+            img=dev["img"], pos_emb=pos_emb, valid=valid,
+            gh=jnp.full((b,), grid, jnp.int32), gw=jnp.full((b,), grid, jnp.int32),
+            present_mask=jnp.zeros((b, cfg.dataset.num_classes - 1), bool))
+        state, m = step_fn(state, frozen, batch, dev["label"], rng)
+        if (n_iter + 1) % cfg.train.log_iters == 0:
+            log.info("iter %d: loss %.4f acc %.4f", n_iter + 1,
+                     float(m.loss), float(m.acc))
+        if (n_iter + 1) % cfg.train.eval_iters == 0 and \
+                (n_iter + 1) > cfg.train.ckpt_start_iter:
+            checkpoint.save(ckpt_dir, n_iter + 1, state.params, state.opt_state)
+    loader.close()
+    checkpoint.save(ckpt_dir, cfg.train.max_iters, state.params, state.opt_state)
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,7 @@ class CocoSegDataset(CocoBase):
         return {
             "name": name,
             "img": np.transpose(norm, (2, 0, 1)).astype(np.float32),
+            "img_raw": image.astype(np.uint8),
             "label": label,
             "present_mask": present,
         }

@@ -34,6 +34,11 @@ class PrefetchLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        if drop_last and len(dataset) < batch_size:
+            raise ValueError(
+                f"dataset ({len(dataset)} examples) smaller than one batch "
+                f"({batch_size}) with drop_last=True — no batch would ever "
+                f"be produced")
         self.rng = np.random.default_rng(seed)
         self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self.idx_q: "queue.Queue" = queue.Queue(maxsize=prefetch * 2)

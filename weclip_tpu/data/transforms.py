@@ -99,6 +99,52 @@ def random_crop(image: np.ndarray, crop_size: int,
     return img, lab, img_box
 
 
+class PhotoMetricDistortion:
+    """Brightness/contrast/saturation/hue jitter (transforms.py:178-264, the
+    mmseg port).  Note the reference feeds RGB arrays into mmcv's *bgr*2hsv
+    — i.e. the channels are swapped during the HSV round-trip; cv2's
+    COLOR_BGR2HSV on the same RGB array reproduces that behavior exactly.
+    Used only by the GT-supervised seg-variant pipeline (voc.py:232)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    @staticmethod
+    def _convert(img, alpha=1.0, beta=0.0):
+        img = img.astype(np.float32) * alpha + beta
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        import cv2
+        img = img.astype(np.uint8)
+        if np.random.randint(2):
+            img = self._convert(img, beta=random.uniform(
+                -self.brightness_delta, self.brightness_delta))
+        mode = np.random.randint(2)
+        if mode == 1 and np.random.randint(2):
+            img = self._convert(img, alpha=random.uniform(
+                self.contrast_lower, self.contrast_upper))
+        if np.random.randint(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 1] = self._convert(
+                hsv[:, :, 1], alpha=random.uniform(self.saturation_lower,
+                                                   self.saturation_upper))
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        if np.random.randint(2):
+            hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+            hsv[:, :, 0] = (hsv[:, :, 0].astype(int) + np.random.randint(
+                -self.hue_delta, self.hue_delta)) % 180
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+        if mode == 0 and np.random.randint(2):
+            img = self._convert(img, alpha=random.uniform(
+                self.contrast_lower, self.contrast_upper))
+        return img
+
+
 def resize_long_side(image: np.ndarray, long_side: int) -> np.ndarray:
     """Eval-time resize of the long side on the *float* image
     (test_msc_flip_voc.py:60-63 interpolates the normalized tensor with

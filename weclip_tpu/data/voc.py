@@ -124,6 +124,7 @@ class VOCSegDataset(VOCBase):
         return {
             "name": name,
             "img": np.transpose(norm, (2, 0, 1)).astype(np.float32),
+            "img_raw": image.astype(np.uint8),
             "label": label,
             "cls_label": np.asarray(self.cls_labels.get(name, 0), np.uint8),
             "present_mask": present,

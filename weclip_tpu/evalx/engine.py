@@ -1,0 +1,229 @@
+"""Batched msc-flip TTA evaluation — the reference's per-image Python loop
+(test_msc_flip_voc.py:32-113) as three jitted, batched XLA programs.
+
+Program 1 (scale 1.0): flip-concatenated backbone+heads forward, the full
+CAM -> walk -> PAR pseudo-label chain (unflipped halves only — the reference
+computes CAMs for the flipped copies too but discards them,
+test_msc_flip_voc.py:69-71), original-resolution CAM labels on a fixed
+canvas via host-built clamp-resize operators.
+
+Program 2 (scale 0.75): seg-only flip-averaged forward (the reference runs
+the CAM chain here as well and throws the result away, :84 — we skip the
+dead work; outputs are identical).
+
+Program 3: combine scales, upsample to original resolution, argmax, and
+update the three streaming confusion matrices (single / msc / cam) on
+device.
+
+Every image size compiles to the same programs: validity masks handle the
+token grid, per-image interpolation matrices handle the resolution changes,
+and clamp-style operators make PAR's replicate padding exact on the canvas
+(see weclip_tpu/evalx/operators.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from weclip_tpu.cam.gradcam import _minmax_valid, gradcam_batch
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import Config
+from weclip_tpu.models import weclip
+from weclip_tpu.models.clip import vit
+from weclip_tpu.refine import affinity as aff
+from weclip_tpu.refine.par import par_refine
+
+
+class ScaleBatch(NamedTuple):
+    """Inputs for one TTA scale (padded to that scale's canvas)."""
+    img: jax.Array          # (B, 3, Hc, Wc)
+    pos_emb: jax.Array      # (B, L, D)
+    valid: jax.Array        # (B, L)
+    gh: jax.Array           # (B,)
+    gw: jax.Array           # (B,)
+
+
+class EvalOps(NamedTuple):
+    """Host-built per-image resize operators (evalx/operators.py)."""
+    mh_cam: jax.Array       # (B, canvas, G1)  grid -> original rows
+    mw_cam: jax.Array       # (B, canvas, G1)
+    mh_img: jax.Array       # (B, canvas, Hc)  pixels -> original rows (ac=True)
+    mw_img: jax.Array       # (B, canvas, Wc)
+    mh_s2: jax.Array        # (B, G1, G2)      0.75 grid -> scale-1 grid
+    mw_s2: jax.Array        # (B, G1, G2)
+
+
+def _flip_valid(x: jax.Array, w_valid: jax.Array, axis: int) -> jax.Array:
+    """Horizontal flip *within* the valid region of a padded axis."""
+    size = x.shape[axis]
+    return jnp.roll(jnp.flip(x, axis), w_valid - size, axis)
+
+
+def _resize_pair(grid: jax.Array, mh: jax.Array, mw: jax.Array) -> jax.Array:
+    """(B, C, Gh, Gw) x (B, Oh, Gh) x (B, Ow, Gw) -> (B, C, Oh, Ow)."""
+    y = jnp.einsum("bog,bcgh->bcoh", mh, grid,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bph,bcoh->bcop", mw, y,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
+                     with_cam: bool = True):
+    """Returns jitted fn: (params, frozen, sb: ScaleBatch, present, ops)
+    -> (seg_single (B,K,G,G), seg_flipavg (B,K,G,G), cam_labels (B,Hc,Wc))."""
+    num_fg = cfg.dataset.num_classes - 1
+
+    @jax.jit
+    def run(params, frozen, sb: ScaleBatch, present_mask, ops: EvalOps):
+        b = sb.img.shape[0]
+        g = sb.img.shape[-1] // cfg.clip.patch_size
+        # flip-concatenated forward (test_msc_flip_voc.py:68)
+        img_f = jax.vmap(lambda x, w: _flip_valid(x, w * cfg.clip.patch_size, 1))(
+            sb.img.transpose(0, 2, 3, 1), sb.gw).transpose(0, 3, 1, 2)
+        batch2 = weclip.Batch(
+            img=jnp.concatenate([sb.img, img_f]),
+            pos_emb=jnp.concatenate([sb.pos_emb, sb.pos_emb]),
+            valid=jnp.concatenate([sb.valid, sb.valid]),
+            gh=jnp.concatenate([sb.gh, sb.gh]),
+            gw=jnp.concatenate([sb.gw, sb.gw]),
+            present_mask=jnp.concatenate([present_mask, present_mask]),
+        )
+        feats, head_out, attn_pred, _ = weclip.backbone_and_heads(
+            params, frozen, batch2, cfg, None, policy)
+
+        k = cfg.dataset.num_classes
+        seg = head_out.seg.reshape(2 * b, g, g, k).transpose(0, 3, 1, 2)
+        seg_u, seg_fl = seg[:b], seg[b:]
+        seg_fl = jax.vmap(lambda x, w: _flip_valid(x, w, 2))(seg_fl, sb.gw)
+        seg_avg = (seg_u + seg_fl) / 2.0                       # (B,K,G,G)
+
+        if not with_cam:
+            cam_labels = jnp.zeros((b,) + ops.mh_img.shape[1:2] * 2, jnp.int32)
+            return seg_u, seg_avg, cam_labels
+
+        # ---- pseudo-label chain on the unflipped half ---------------------
+        feats_u = vit.VisionFeatures(feats.layer_tokens[:, :b],
+                                     feats.layer_attn[:, :b],
+                                     feats.valid[:b])
+        text_features = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], 0)
+        text_mask = jnp.concatenate(
+            [present_mask.astype(bool),
+             jnp.ones((b, frozen["bg_text"].shape[0]), bool)], axis=1)
+        cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
+                                feats_u.layer_tokens[-1], text_features,
+                                text_mask, sb.valid, num_fg, cfg.clip, policy)
+        valid_p = sb.valid[:, 1:].astype(jnp.float32)
+        # mode == 'val' always gates by the learned affinity
+        # (model_attn_aff_voc.py:146)
+        fused_attn = aff.fuse_attention_gated(
+            feats_u.layer_attn, cam_out.attn_last, attn_pred[:b],
+            cfg.cam.seg_trans_layers, valid_p)
+
+        def walk_one(cams_i, fused_i, valid_i, gh_i, gw_i):
+            trans = aff.sinkhorn_transition(fused_i, valid_i,
+                                            rounds=cfg.cam.sinkhorn_iters)
+            return aff.random_walk_cams(cams_i, trans, valid_i.reshape(g, g),
+                                        gh_i, gw_i, cfg.cam.bbox_threshold)
+
+        refined = jax.vmap(walk_one)(cam_out.cams, fused_attn,
+                                     sb.valid[:, 1:], sb.gh, sb.gw)
+
+        normed = jax.vmap(jax.vmap(
+            lambda c, v: _minmax_valid(c, v.astype(bool)),
+            in_axes=(0, None)))(refined, sb.valid[:, 1:])
+
+        # grid -> original resolution on the output canvas (clamp-replicated)
+        cam_ori = _resize_pair(normed.reshape(b, num_fg, g, g),
+                               ops.mh_cam, ops.mw_cam)
+        present = present_mask.astype(jnp.float32)[:, :, None, None]
+        fg_scores = jnp.where(present > 0, cam_ori, -1.0)
+        max_present = jnp.max(jnp.where(present > 0, cam_ori, 0.0),
+                              axis=1, keepdims=True)
+        bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
+        stack = jnp.concatenate([bg_score, fg_scores], axis=1)
+
+        img_ori = _resize_pair(sb.img, ops.mh_img, ops.mw_img)
+        par_out = par_refine(img_ori, stack, cfg.par)
+        cam_labels = jnp.argmax(par_out, axis=1).astype(jnp.int32)
+        return seg_u, seg_avg, cam_labels
+
+    return run
+
+
+def make_eval_scale2(cfg: Config, policy: precision.Policy = precision.DEFAULT):
+    """Seg-only flip-averaged forward for an extra TTA scale
+    (test_msc_flip_voc.py:79-88)."""
+
+    @jax.jit
+    def run(params, frozen, sb: ScaleBatch, present_mask):
+        b = sb.img.shape[0]
+        g = sb.img.shape[-1] // cfg.clip.patch_size
+        img_f = jax.vmap(lambda x, w: _flip_valid(x, w * cfg.clip.patch_size, 1))(
+            sb.img.transpose(0, 2, 3, 1), sb.gw).transpose(0, 3, 1, 2)
+        batch2 = weclip.Batch(
+            img=jnp.concatenate([sb.img, img_f]),
+            pos_emb=jnp.concatenate([sb.pos_emb, sb.pos_emb]),
+            valid=jnp.concatenate([sb.valid, sb.valid]),
+            gh=jnp.concatenate([sb.gh, sb.gh]),
+            gw=jnp.concatenate([sb.gw, sb.gw]),
+            present_mask=jnp.concatenate([present_mask, present_mask]),
+        )
+        _, head_out, _, _ = weclip.backbone_and_heads(
+            params, frozen, batch2, cfg, None, policy)
+        k = cfg.dataset.num_classes
+        seg = head_out.seg.reshape(2 * b, g, g, k).transpose(0, 3, 1, 2)
+        seg_fl = jax.vmap(lambda x, w: _flip_valid(x, w, 2))(seg[b:], sb.gw)
+        return (seg[:b] + seg_fl) / 2.0
+
+    return run
+
+
+def make_eval_combine(cfg: Config, msc: bool = True):
+    """Scale fusion + original-resolution predictions + hist updates
+    (test_msc_flip_voc.py:86-107)."""
+    from weclip_tpu.evalx.metrics import confusion_update
+    k = cfg.dataset.num_classes
+
+    @jax.jit
+    def run(seg_single, seg_avg1, seg_avg2, cam_labels, label, ops: EvalOps,
+            hists):
+        if msc:
+            # 0.75 grid -> scale-1 grid, then mean over scales
+            seg2_on1 = _resize_pair(seg_avg2, ops.mh_s2, ops.mw_s2)
+            msc_seg = (seg_avg1 + seg2_on1) / 2.0
+        else:
+            msc_seg = seg_avg1
+
+        pred_single = jnp.argmax(_resize_pair(seg_single, ops.mh_cam,
+                                              ops.mw_cam), axis=1)
+        pred_msc = jnp.argmax(_resize_pair(msc_seg, ops.mh_cam, ops.mw_cam),
+                              axis=1)
+
+        h_single, h_msc, h_cam = hists
+        h_single = confusion_update(h_single, label, pred_single, num_classes=k)
+        h_msc = confusion_update(h_msc, label, pred_msc, num_classes=k)
+        h_cam = confusion_update(h_cam, label, cam_labels, num_classes=k)
+        return pred_single, pred_msc, (h_single, h_msc, h_cam)
+
+    return run
+
+
+def make_msc_logits(cfg: Config, msc: bool = True):
+    """Original-resolution msc logits for CRF post-processing
+    (crf_proc loads saved msc_segs and resizes them to the image size,
+    test_msc_flip_voc.py:140-154)."""
+
+    @jax.jit
+    def run(seg_avg1, seg_avg2, ops: EvalOps):
+        if msc:
+            seg2_on1 = _resize_pair(seg_avg2, ops.mh_s2, ops.mw_s2)
+            msc_seg = (seg_avg1 + seg2_on1) / 2.0
+        else:
+            msc_seg = seg_avg1
+        return _resize_pair(msc_seg, ops.mh_cam, ops.mw_cam)
+
+    return run

@@ -1,0 +1,77 @@
+"""Host-built per-image resize operators for shape-static evaluation.
+
+The reference evaluates images one at a time because every image has its own
+size: CAMs are resized to the *original* resolution (clip_tool.py:194-197),
+PAR runs at original resolution (PAR.py:67), seg logits are upsampled to the
+label size (test_msc_flip_voc.py:92-95), and the 0.75-scale seg grid is
+interpolated onto the scale-1 grid (:86).
+
+TPU-first redesign: each variable-size bilinear resize becomes a pair of
+per-image interpolation matrices (rows = target coordinates on a fixed
+canvas, cols = source coordinates on a fixed padded grid) applied with an
+einsum.  Rows beyond the image's true extent *clamp* to the last valid row,
+so the canvas padding is automatically edge-replicated — which makes PAR's
+replicate-padding semantics exact on the padded canvas (reads past the true
+boundary see the same values replicate padding would produce).
+
+All matrices are cheap (canvas x grid) numpy constructions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _src_coords(dst: np.ndarray, in_size: int, out_size: int,
+                align_corners: bool) -> np.ndarray:
+    if align_corners and out_size > 1:
+        src = dst * (in_size - 1) / (out_size - 1)
+    elif align_corners:
+        src = np.zeros_like(dst)
+    else:
+        src = (dst + 0.5) * (in_size / out_size) - 0.5
+    return np.clip(src, 0.0, in_size - 1)
+
+
+def clamp_resize_matrix(in_size: int, out_size: int,
+                        canvas: int, src_pad: int,
+                        align_corners: bool = False) -> np.ndarray:
+    """(canvas, src_pad) bilinear matrix: rows < out_size interpolate the
+    first ``in_size`` source cells; rows >= out_size repeat row out_size-1
+    (edge replication into the canvas padding)."""
+    dst = np.arange(canvas, dtype=np.float64)
+    dst = np.minimum(dst, out_size - 1)          # clamp target coordinate
+    src = _src_coords(dst, in_size, out_size, align_corners)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = src - lo
+    m = np.zeros((canvas, src_pad), dtype=np.float64)
+    rows = np.arange(canvas)
+    np.add.at(m, (rows, lo), 1.0 - w_hi)
+    np.add.at(m, (rows, hi), w_hi)
+    return m.astype(np.float32)
+
+
+def identity_grid_matrix(in_size: int, src_pad: int, canvas: int) -> np.ndarray:
+    """Degenerate operator (copy + clamp) for same-size paths."""
+    return clamp_resize_matrix(in_size, in_size, canvas, src_pad)
+
+
+class EvalOperators:
+    """Per-image operator bundle for one (scale-1) eval example."""
+
+    def __init__(self, ori_h: int, ori_w: int, h1: int, w1: int,
+                 grid1: int, canvas: int, patch: int = 16,
+                 h2: int = 0, w2: int = 0, grid2: int = 0):
+        gh1, gw1 = h1 // patch, w1 // patch
+        # CAM / seg grid -> original resolution (cv2-style, ac=False)
+        self.mh_cam = clamp_resize_matrix(gh1, ori_h, canvas, grid1)
+        self.mw_cam = clamp_resize_matrix(gw1, ori_w, canvas, grid1)
+        # model-input pixels -> original resolution (PAR path, ac=True)
+        self.mh_img = clamp_resize_matrix(h1, ori_h, canvas, canvas, True)
+        self.mw_img = clamp_resize_matrix(w1, ori_w, canvas, canvas, True)
+        if grid2:
+            gh2, gw2 = h2 // patch, w2 // patch
+            # 0.75-scale seg grid -> scale-1 grid (test_msc_flip_voc.py:86)
+            self.mh_s2 = clamp_resize_matrix(gh2, gh1, grid1, grid2)
+            self.mw_s2 = clamp_resize_matrix(gw2, gw1, grid1, grid2)

@@ -72,9 +72,24 @@ def backbone_and_heads(
         cfg.clip, keep_attn=keep_attn_layers(cfg), policy=policy)
     layer_tokens = feats.layer_tokens[:, :, 1:, :]            # CLS dropped
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
-    head_out = heads.head_forward(params["head"], layer_tokens,
-                                  dropout_rng=dropout_rng,
-                                  valid_p=batch.valid[:, 1:], policy=policy)
+
+    if "comer" in params and cfg.comer.enabled:
+        # WeCLIP+ViT-CoMer config: the CTI branch's fusion features are added
+        # to the SegFormer fusion ahead of the decoder (SURVEY §2.12)
+        from weclip_tpu.models.comer import comer_forward
+        fused = heads.fuse_forward(params["head"]["fuse"], layer_tokens,
+                                   dropout_rng, policy=policy)
+        fused = fused + comer_forward(params["comer"], batch.img,
+                                      layer_tokens, batch.valid[:, 1:],
+                                      cfg.comer, policy)
+        seg, dec_attn = heads.decoder_forward(params["head"]["decoder"], fused,
+                                              valid_p=batch.valid[:, 1:],
+                                              policy=policy)
+        head_out = heads.HeadOutputs(seg, fused, dec_attn)
+    else:
+        head_out = heads.head_forward(params["head"], layer_tokens,
+                                      dropout_rng=dropout_rng,
+                                      valid_p=batch.valid[:, 1:], policy=policy)
     attn_pred = aff.gram_affinity(head_out.fused, valid_p)
     return feats, head_out, attn_pred, valid_p
 
@@ -190,8 +205,9 @@ def forward_train(
 
 def init_trainable_params(rng: jax.Array, cfg: Config) -> Dict[str, Any]:
     """Only fuse + decoder train (model_attn_aff_voc.py:94-103); CLIP stays
-    frozen and block-11 grads exist solely for CAM."""
-    return {
+    frozen and block-11 grads exist solely for CAM.  With cfg.comer.enabled
+    the CTI branch parameters train alongside the heads."""
+    params = {
         "head": heads.init_head_params(
             rng,
             n_layers=cfg.clip.vision_layers - 1,
@@ -201,6 +217,12 @@ def init_trainable_params(rng: jax.Array, cfg: Config) -> Dict[str, Any]:
             num_classes=cfg.dataset.num_classes,
         )
     }
+    if cfg.comer.enabled:
+        from weclip_tpu.models.comer import init_comer_params
+        params["comer"] = init_comer_params(
+            jax.random.fold_in(rng, 99), cfg.comer,
+            vit_width=cfg.clip.vision_width, embed=cfg.clip.embedding_dim)
+    return params
 
 
 def build_frozen_state(clip_params: Dict[str, Any], fg_text, bg_text) -> Dict[str, Any]:

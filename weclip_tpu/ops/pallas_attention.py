@@ -1,0 +1,173 @@
+"""Pallas TPU attention kernel that fuses softmax, value matmul, AND the
+head-averaged attention-map export.
+
+Why a custom kernel: classic flash attention exists to never materialize the
+(L, L) attention matrix — but WeCLIP *requires* a head-averaged (L, L) map
+from every block (the affinity random walk consumes it, SURVEY §5.7).  The
+XLA path materializes the full per-head (B, H, L, L) tensor in HBM and then
+reduces over H; this kernel streams per-head attention tiles through VMEM,
+accumulates the head sum in the revisited output block, and writes only the
+(B, L, L) mean — cutting HBM traffic for the maps by ~H x and fusing the
+softmax chain.
+
+Grid: (B, Q_tiles, H) with H innermost, so the attention-mean output block
+(b, qt) stays resident in VMEM across the head loop and is accumulated in
+place.  K/V for one (batch, head) fit comfortably in VMEM at WeCLIP's
+sequence lengths (L <= ~1.2k after padding).
+
+Numerics match ops/attention.py::mha_with_weights (fp32 scores/softmax,
+NaN-safe masked rows) — asserted in tests/test_pallas_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from weclip_tpu.core import precision
+from weclip_tpu.ops.attention import MhaParams
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref, *,
+                 n_heads: int, scale: float):
+    h = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # (TQ, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)                  # (L, Dh)
+    v = v_ref[0, 0].astype(jnp.float32)                  # (L, Dh)
+    kmask = mask_ref[0]                                  # (1, L) float {0,1}
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, L)
+    neg = jnp.float32(-1e30)
+    scores = jnp.where(kmask > 0, scores, neg)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    smax = jnp.maximum(smax, neg * 0.5)                  # all-masked row guard
+    ex = jnp.exp(scores - smax)
+    ex = jnp.where(kmask > 0, ex, 0.0)
+    denom = jnp.sum(ex, axis=-1, keepdims=True)
+    attn = ex / jnp.maximum(denom, 1e-30)                # (TQ, L) fp32
+
+    out_ref[0, 0] = jax.lax.dot_general(
+        attn, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(h == 0)
+    def _():
+        attn_ref[0] = attn
+
+    @pl.when(h > 0)
+    def _():
+        attn_ref[0] += attn
+
+    @pl.when(h == n_heads - 1)
+    def _():
+        attn_ref[0] = attn_ref[0] * (1.0 / n_heads)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "q_tile", "interpret"))
+def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                          kmask: jax.Array, n_heads: int,
+                          q_tile: int = 128,
+                          interpret: bool = False
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """q, k, v: (B, H, L, Dh) fp32;  kmask: (B, L) float {0,1}.
+
+    Returns (out (B, H, L, Dh) fp32, attn_mean (B, L, L) fp32).  L is padded
+    internally to a multiple of q_tile; padded keys are masked out and padded
+    query rows produce garbage that callers mask (they already do: every
+    consumer multiplies by the validity mask).
+    """
+    b, h, l, dh = q.shape
+    lp = _round_up(l, q_tile)
+    if lp != l:
+        pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        kmask = jnp.pad(kmask, [(0, 0), (0, lp - l)])
+    kmask2 = kmask[:, None, :].astype(jnp.float32)        # (B, 1, L)
+
+    grid = (b, lp // q_tile, h)
+    scale = dh ** -0.5
+
+    out, attn = pl.pallas_call(
+        functools.partial(_attn_kernel, n_heads=h, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, q_tile, dh),
+                         lambda bi, qt, hi: (bi, hi, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp, dh),
+                         lambda bi, qt, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp, dh),
+                         lambda bi, qt, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp),
+                         lambda bi, qt, hi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, q_tile, dh),
+                         lambda bi, qt, hi: (bi, hi, qt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, lp),
+                         lambda bi, qt, hi: (bi, qt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, lp, lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, kmask2)
+
+    return out[:, :, :l], attn[:, :l, :l]
+
+
+def mha_with_weights_pallas(
+    x: jax.Array,
+    p: MhaParams,
+    n_heads: int,
+    valid: Optional[jax.Array] = None,
+    policy: precision.Policy = precision.DEFAULT,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for ops.attention.mha_with_weights using the
+    Pallas core (projections stay XLA einsums — they are single MXU matmuls)."""
+    b, l, d = x.shape
+    hd = d // n_heads
+    cd = policy.compute_dtype
+    xc = x.astype(cd)
+    qkv = jnp.einsum("bld,ed->ble", xc, p.in_w.astype(cd),
+                     preferred_element_type=jnp.float32)
+    qkv = qkv + p.in_b.astype(jnp.float32)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
+
+    kmask = (valid.astype(jnp.float32) if valid is not None
+             else jnp.ones((b, l), jnp.float32))
+    out, attn_mean = attention_core_pallas(heads(q), heads(k), heads(v),
+                                           kmask, n_heads,
+                                           interpret=interpret)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
+                     preferred_element_type=jnp.float32)
+    out = out + p.out_b.astype(jnp.float32)
+    if valid is not None:
+        qmask = valid.astype(bool)
+        out = jnp.where(qmask[..., None], out, 0.0)
+        attn_mean = jnp.where(qmask[:, :, None], attn_mean, 0.0)
+    return out.astype(x.dtype), attn_mean
