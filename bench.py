@@ -32,6 +32,8 @@ A100_EST_IMGS_PER_SEC = 3.0
 
 def main():
     import jax
+    from weclip_tpu.core.runtime import enable_compilation_cache
+    enable_compilation_cache()
     from weclip_tpu.core import precision
     from weclip_tpu.core.config import Config
     from weclip_tpu.evalx import metrics

@@ -1,0 +1,30 @@
+"""Pallas PAR kernel (interpret mode) vs the XLA reference implementation."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from weclip_tpu.core.config import ParConfig
+from weclip_tpu.refine.par import par_refine
+from weclip_tpu.refine.pallas_par import par_refine_pallas
+
+
+def test_pallas_par_matches_xla(rng):
+    cfg = ParConfig(dilations=(1, 2, 4), num_iter=4)
+    imgs = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    masks = rng.uniform(0, 1, (2, 5, 32, 32)).astype(np.float32)
+
+    ref = np.asarray(par_refine(jnp.asarray(imgs), jnp.asarray(masks), cfg))
+    ours = np.asarray(par_refine_pallas(jnp.asarray(imgs), jnp.asarray(masks),
+                                        cfg, c_tile=2, interpret=True))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_par_full_dilations(rng):
+    cfg = ParConfig(dilations=(1, 2, 4, 8, 12, 24), num_iter=2)
+    imgs = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    masks = rng.uniform(0, 1, (1, 3, 64, 64)).astype(np.float32)
+    ref = np.asarray(par_refine(jnp.asarray(imgs), jnp.asarray(masks), cfg))
+    ours = np.asarray(par_refine_pallas(jnp.asarray(imgs), jnp.asarray(masks),
+                                        cfg, c_tile=4, interpret=True))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)

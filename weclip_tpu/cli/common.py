@@ -16,7 +16,17 @@ import sys
 from weclip_tpu.core.config import Config, coco_config, load_config
 
 
+def setup_runtime():
+    """Enable the persistent XLA compilation cache for all CLI entry points."""
+    try:
+        from weclip_tpu.core.runtime import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
 def setup_logger(filename: str | None = None):
+    setup_runtime()
     fmt = logging.Formatter("%(asctime)s - %(filename)s - %(levelname)s: %(message)s")
     root = logging.getLogger()
     root.setLevel(logging.INFO)

@@ -1,0 +1,20 @@
+"""Runtime niceties: persistent compilation cache + profiler helpers.
+
+The axon TPU backend compiles via a remote helper and large programs (the
+fused eval step, the Pallas PAR kernel) take minutes; the persistent cache
+makes every run after the first start instantly (SURVEY §5.1 gap: the
+reference has no tooling here at all)."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    import jax
+    path = path or os.environ.get("WECLIP_COMPILE_CACHE",
+                                  os.path.expanduser("~/.cache/weclip_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path

@@ -19,6 +19,8 @@ All matrices are cheap (canvas x grid) numpy constructions.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 
@@ -33,23 +35,29 @@ def _src_coords(dst: np.ndarray, in_size: int, out_size: int,
     return np.clip(src, 0.0, in_size - 1)
 
 
+@lru_cache(maxsize=4096)
 def clamp_resize_matrix(in_size: int, out_size: int,
                         canvas: int, src_pad: int,
                         align_corners: bool = False) -> np.ndarray:
     """(canvas, src_pad) bilinear matrix: rows < out_size interpolate the
     first ``in_size`` source cells; rows >= out_size repeat row out_size-1
-    (edge replication into the canvas padding)."""
+    (edge replication into the canvas padding).
+
+    Cached: eval sets reuse a few dozen distinct sizes, and matrix
+    construction dominates host-side batch prep otherwise."""
     dst = np.arange(canvas, dtype=np.float64)
     dst = np.minimum(dst, out_size - 1)          # clamp target coordinate
     src = _src_coords(dst, in_size, out_size, align_corners)
     lo = np.floor(src).astype(np.int64)
     hi = np.minimum(lo + 1, in_size - 1)
     w_hi = src - lo
-    m = np.zeros((canvas, src_pad), dtype=np.float64)
+    m = np.zeros((canvas, src_pad), dtype=np.float32)
     rows = np.arange(canvas)
-    np.add.at(m, (rows, lo), 1.0 - w_hi)
-    np.add.at(m, (rows, hi), w_hi)
-    return m.astype(np.float32)
+    # lo == hi only at the clamp boundary where w_hi == 0, so plain indexed
+    # assignment (not add.at) is exact and ~50x faster
+    m[rows, hi] = w_hi
+    m[rows, lo] += 1.0 - w_hi
+    return m
 
 
 def identity_grid_matrix(in_size: int, src_pad: int, canvas: int) -> np.ndarray:

@@ -59,7 +59,8 @@ def make_prep(cfg: Config, max_ori: int, resize_long: Optional[int]) -> EvalPrep
 
 
 def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
-                   canvas: int, patch: int, pe_table: np.ndarray):
+                   canvas: int, patch: int, pe_table: np.ndarray,
+                   pe_cache: dict):
     """Pad one (3,H,W) float image onto a canvas; return pieces of ScaleBatch."""
     h, w = target_hw
     if (h, w) != img_chw.shape[1:]:
@@ -69,12 +70,18 @@ def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
     g = canvas // patch
     out = np.zeros((3, canvas, canvas), np.float32)
     out[:, :h, :w] = img_chw
-    pe = pos_emb_host(pe_table, gh, gw, g, g)
-    valid = np.zeros((g * g + 1,), bool)
-    valid[0] = True
-    vg = np.zeros((g, g), bool)
-    vg[:gh, :gw] = True
-    valid[1:] = vg.reshape(-1)
+    key = (gh, gw, g)
+    cached = pe_cache.get(key)
+    if cached is None:
+        pe = pos_emb_host(pe_table, gh, gw, g, g)
+        valid = np.zeros((g * g + 1,), bool)
+        valid[0] = True
+        vg = np.zeros((g, g), bool)
+        vg[:gh, :gw] = True
+        valid[1:] = vg.reshape(-1)
+        pe_cache[key] = (pe, valid)
+    else:
+        pe, valid = cached
     return out, pe, valid, gh, gw, (h, w)
 
 
@@ -91,6 +98,7 @@ class Evaluator:
         self.scale2 = make_eval_scale2(cfg, policy) if msc else None
         self.combine = make_eval_combine(cfg, msc=msc)
         self.msc_logits = make_msc_logits(cfg, msc=msc)
+        self._pe_cache: dict = {}
 
     # -- host batch assembly -------------------------------------------------
     def build_batch(self, examples) -> Tuple[ScaleBatch, ScaleBatch, EvalOps,
@@ -110,11 +118,12 @@ class Evaluator:
             else:
                 h1, w1 = oh, ow
             cols1.append(_scale_example(img, (h1, w1), prep.canvas_in1,
-                                        patch, self.pe_table))
+                                        patch, self.pe_table, self._pe_cache))
             if self.msc:
                 h2, w2 = int(h1 * s2), int(w1 * s2)
                 cols2.append(_scale_example(img, (h2, w2), prep.canvas_in2,
-                                            patch, self.pe_table))
+                                            patch, self.pe_table,
+                                            self._pe_cache))
             else:
                 h2 = w2 = patch
             gh1, gw1 = h1 // patch, w1 // patch
@@ -164,11 +173,7 @@ class Evaluator:
         bsz = cfg.eval.batch_images
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
 
-        it = range(0, n, bsz)
-        if progress:
-            from tqdm import tqdm
-            it = tqdm(it, ncols=100)
-        for s in it:
+        def prepare(s):
             idxs = list(range(s, min(s + bsz, n)))
             examples = [dataset[i] for i in idxs]
             n_real = len(examples)
@@ -176,7 +181,22 @@ class Evaluator:
                 pad = dict(examples[-1])
                 pad["label"] = np.full_like(pad["label"], 255)
                 examples.append(pad)
-            sb1, sb2, ops, labels, presents = self.build_batch(examples)
+            return examples, n_real, self.build_batch(examples)
+
+        # overlap host batch prep with device compute
+        import concurrent.futures as cf
+        pool = cf.ThreadPoolExecutor(max_workers=1)
+        starts = list(range(0, n, bsz))
+        it = range(len(starts))
+        if progress:
+            from tqdm import tqdm
+            it = tqdm(it, ncols=100)
+        pending = pool.submit(prepare, starts[0]) if starts else None
+        for i in it:
+            examples, n_real, built = pending.result()
+            if i + 1 < len(starts):
+                pending = pool.submit(prepare, starts[i + 1])
+            sb1, sb2, ops, labels, presents = built
             seg_single, seg_avg1, cam_labels = self.scale1(
                 params, frozen, sb1, presents, ops)
             if self.msc:
@@ -226,6 +246,7 @@ class Evaluator:
                         k * gt[m].astype(np.int64) + pred[m],
                         minlength=k * k).reshape(k, k)
 
+        pool.shutdown(wait=False)
         h_single, h_msc, h_cam = (np.asarray(h) for h in hists)
         out = {
             "seg": metrics.scores(h_single),

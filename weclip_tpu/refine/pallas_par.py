@@ -1,0 +1,139 @@
+"""Pallas TPU kernel for PAR mask propagation.
+
+The XLA formulation of PAR's Jacobi update
+(masks <- sum_k shift_k(masks) * aff_k, 48 shifts x 20 iterations,
+refine/par.py) materializes every shifted copy in HBM — measured at 663 ms
+for a (8, 21, 512, 512) eval batch, the single hottest stage of the whole
+pipeline.
+
+Design (idiomatic Pallas pipeline):
+- grid = (batch, channel_tiles, neighbors) with the neighbor axis innermost:
+  the edge-padded masks block and the output block stay resident in VMEM
+  across all 48 neighbor steps (revisited blocks), while the per-neighbor
+  affinity slabs stream through the automatic double-buffered pipeline,
+- each grid step is a single shift-multiply-accumulate: a sublane slice for
+  the row offset, a lane roll for the column offset (Mosaic compiles rolls
+  orders of magnitude faster than unaligned lane slices),
+- one kernel invocation = one Jacobi iteration; the 20-iteration loop and
+  the edge re-padding (replicate semantics) run at the XLA level via
+  lax.scan, reusing the single compiled kernel.
+
+Per iteration the masks are read/written once and the affinity tensor is
+read once per channel tile — HBM traffic drops ~10x versus the XLA version.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from weclip_tpu.core.config import ParConfig
+from weclip_tpu.ops.resize import resize_bilinear
+from weclip_tpu.refine.par import _OFFSETS, par_affinity
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, *,
+                 d: int, h: int, w_pad: int, n_k: int):
+    k = pl.program_id(1)
+    dy = dys_ref[k]
+    dx = dxs_ref[k]
+
+    src = masks_ref[...]                                  # (CT, Hp, Wp)
+    hp, wp = src.shape[1], src.shape[2]
+    # dynamic shifts as rolls + static aligned slices (Mosaic cannot prove
+    # alignment of dynamic slice offsets; rolls have no such constraint)
+    rolled = pltpu.roll(src, (-(d + dy)) % hp, 1)
+    rolled = pltpu.roll(rolled, (-(_LANE + dx)) % wp, 2)
+    shifted = rolled[:, 0:h, 0:w_pad]
+    contrib = shifted * aff_ref[0][None]
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[...] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "c_tile", "interpret"))
+def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
+                      c_tile: int = 4, interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for refine.par.par_refine (same semantics)."""
+    hm, wm = masks.shape[-2], masks.shape[-1]
+    if imgs.shape[-2:] != (hm, wm):
+        imgs = resize_bilinear(imgs.astype(jnp.float32), hm, wm,
+                               align_corners=True)
+    aff = par_affinity(imgs.astype(jnp.float32), cfg)         # (B, K, H, W)
+
+    b, c, h, w = masks.shape
+    assert h % 8 == 0, "pallas PAR needs 8-aligned height"
+    d = max(cfg.dilations)
+    shifts = [(dy * dil, dx * dil)
+              for dil in cfg.dilations for (dy, dx) in _OFFSETS]
+    n_k = len(shifts)
+    dys = jnp.asarray([s[0] for s in shifts], jnp.int32)
+    dxs = jnp.asarray([s[1] for s in shifts], jnp.int32)
+
+    cp = _round_up(c, c_tile)
+    if cp != c:
+        masks = jnp.pad(masks, [(0, 0), (0, cp - c), (0, 0), (0, 0)])
+
+    w_pad = _round_up(w, _LANE)
+    wp = _LANE + w_pad + _LANE
+    hp = h + 2 * d
+    if aff.shape[-1] != w_pad:
+        aff = jnp.pad(aff, [(0, 0), (0, 0), (0, 0), (0, w_pad - w)])
+    aff = aff.astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(cp // c_tile, n_k),
+        in_specs=[
+            pl.BlockSpec((c_tile, hp, wp),
+                         lambda ci, ki, dys, dxs: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w_pad),
+                         lambda ci, ki, dys, dxs: (ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c_tile, h, w_pad),
+                               lambda ci, ki, dys, dxs: (ci, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    step = pl.pallas_call(
+        functools.partial(_step_kernel, d=d, h=h, w_pad=w_pad, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cp, h, w_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+    # the true image occupies cols [0, w); anything to the right of it in
+    # the padded output is recomputed from replication each iteration, so
+    # cropping to w before re-padding keeps replicate semantics exact.
+    # lax.map over the batch keeps per-call buffers small (XLA stack-
+    # allocates pallas outputs; full-batch calls OOM its vmem stack).
+    def one_image(args):
+        m0, aff_i = args
+
+        def one_iter(m, _):
+            m_pad = jnp.pad(m, [(0, 0), (d, d), (_LANE, wp - _LANE - w)],
+                            mode="edge")
+            return step(dys, dxs, m_pad, aff_i)[:, :, :w], None
+
+        out, _ = jax.lax.scan(one_iter, m0, None, length=cfg.num_iter)
+        return out
+
+    out = jax.lax.map(one_image, (masks.astype(jnp.float32), aff))
+    return out[:, :c]
