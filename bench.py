@@ -74,13 +74,16 @@ def main():
     policy = precision.make_policy("bfloat16")
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
 
-    sb1, sb2, ops, labels, presents = ev.build_batch(examples)
+    (sb1, sb2, ops, labels, presents,
+     cls_idx, cls_active) = ev.build_batch(examples)
+    scale1 = ev.scale1_for(cls_idx.shape[1])
     k = cfg.dataset.num_classes
     hists = (metrics.zero_hist(k),) * 3
 
     def one_round(hists):
-        seg_single, seg_avg1, cam_labels = ev.scale1(params, frozen, sb1,
-                                                     presents, ops)
+        seg_single, seg_avg1, cam_labels = scale1(params, frozen, sb1,
+                                                  presents, ops,
+                                                  cls_idx, cls_active)
         seg_avg2 = ev.scale2(params, frozen, sb2, presents)
         ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
                                    cam_labels, labels, ops, hists)

@@ -1,0 +1,54 @@
+"""CAM variant library: shape/normalization sanity + grad_cam consistency
+with the main vjp path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests import tiny
+from weclip_tpu.cam import variants
+from weclip_tpu.cam.gradcam import gradcam_single
+from weclip_tpu.core import precision
+
+METHODS = ["grad_cam", "grad_cam_pp", "xgrad_cam", "layer_cam",
+           "eigen_cam", "eigen_grad_cam", "score_cam"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny.tiny_config()
+    frozen, _ = tiny.tiny_frozen(cfg)
+    rng = np.random.default_rng(5)
+    l = 17
+    x11 = jnp.asarray(rng.standard_normal((l, cfg.clip.vision_width)),
+                      jnp.float32)
+    text = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], 0)
+    tmask = jnp.ones((text.shape[0],), bool)
+    valid = jnp.ones((l,), bool)
+    cls = jnp.arange(3, dtype=jnp.int32)
+    return cfg, frozen, x11, text, tmask, valid, cls
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_variant_shapes_and_range(setup, method):
+    cfg, frozen, x11, text, tmask, valid, cls = setup
+    cams = variants.cam_single(method, frozen["visual"], frozen["logit_scale"],
+                               x11, text, tmask, valid, cls, cfg.clip,
+                               precision.FP32)
+    cams = np.asarray(cams)
+    assert cams.shape == (3, 16)
+    assert np.isfinite(cams).all()
+    assert cams.min() >= 0.0 and cams.max() <= 1.0 + 1e-6
+
+
+def test_grad_cam_variant_matches_main_path(setup):
+    cfg, frozen, x11, text, tmask, valid, cls = setup
+    via_variants = variants.cam_single(
+        "grad_cam", frozen["visual"], frozen["logit_scale"], x11, text,
+        tmask, valid, cls, cfg.clip, precision.FP32)
+    main, _, _ = gradcam_single(frozen["visual"], frozen["logit_scale"], x11,
+                                text, tmask, valid, cls, cfg.clip,
+                                policy=precision.FP32)
+    np.testing.assert_allclose(np.asarray(via_variants), np.asarray(main),
+                               rtol=1e-5, atol=1e-6)

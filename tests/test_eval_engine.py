@@ -140,11 +140,13 @@ def test_batched_engine_matches_exact():
     pe_table = np.asarray(clip_params["visual"]["positional_embedding"])
     ev = Evaluator(cfg, prep, pe_table, policy=precision.FP32)
 
-    # run batched engine manually to capture predictions
+    # run batched engine manually to capture predictions (class compaction
+    # active: bucket 4 while the exact path computes all classes)
     examples = [ds[0], ds[1]]
-    sb1, sb2, ops, labels, presents = ev.build_batch(examples)
-    seg_single, seg_avg1, cam_labels = ev.scale1(params, frozen, sb1,
-                                                 presents, ops)
+    sb1, sb2, ops, labels, presents, cls_idx, cls_active = ev.build_batch(examples)
+    assert cls_idx.shape[1] == 4          # compacted bucket in play
+    seg_single, seg_avg1, cam_labels = ev.scale1_for(cls_idx.shape[1])(
+        params, frozen, sb1, presents, ops, cls_idx, cls_active)
     seg_avg2 = ev.scale2(params, frozen, sb2, presents)
     k = cfg.dataset.num_classes
     hists = (metrics.zero_hist(k),) * 3

@@ -76,7 +76,7 @@ def test_gradcam_matches_torch_autograd():
     cams, attn_last, probs = gradcam_single(
         frozen["visual"], frozen["logit_scale"], jnp.asarray(x11),
         jnp.asarray(text), jnp.asarray(tmask), jnp.ones((l,), bool),
-        num_fg, cfg.clip, policy=precision.FP32)
+        jnp.arange(num_fg, dtype=jnp.int32), cfg.clip, policy=precision.FP32)
 
     # torch oracle (masked classes dropped from the softmax set entirely,
     # like the reference's present-classes-only text stack)

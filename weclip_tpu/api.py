@@ -1,0 +1,117 @@
+"""High-level user API.
+
+Covers BASELINE.json configs[0] ("VOC12 single image: CAM + attn-affinity +
+PAR refine, single-scale no-flip") and gives reference users a one-object
+entry point: load once, then segment images / produce pseudo-labels / CAMs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from weclip_tpu.core.config import Config
+
+
+class WeCLIPPipeline:
+    """Load-once, call-many inference pipeline.
+
+    Example:
+        pipe = WeCLIPPipeline(cfg, model_path="work_dir/checkpoints/...")
+        out = pipe.segment(rgb_uint8)             # (H, W) int32 labels
+        out = pipe.pseudo_label(rgb_uint8, class_ids=[11, 14])
+    """
+
+    def __init__(self, cfg: Optional[Config] = None,
+                 model_path: Optional[str] = None,
+                 precision_name: str = "bfloat16"):
+        import jax
+        from weclip_tpu.core import precision as prec
+        from weclip_tpu.core.runtime import enable_compilation_cache
+        from weclip_tpu.train.trainer import build_frozen
+        from weclip_tpu.train.step import create_train_state
+
+        enable_compilation_cache()
+        self.cfg = cfg or Config()
+        self.policy = prec.make_policy(precision_name)
+        self.frozen, self.clip_params, self.cfg = build_frozen(self.cfg)
+        state, _ = create_train_state(jax.random.PRNGKey(0), self.cfg)
+        self.params = state.params
+        if model_path:
+            from weclip_tpu.train import checkpoint
+            self.params, _, _ = checkpoint.restore(model_path)
+        self._evaluators: Dict = {}
+
+    def _evaluator(self, max_ori: int, with_cam: bool, msc: bool):
+        from weclip_tpu.evalx.runner import Evaluator, make_prep
+        key = (max_ori, with_cam, msc)
+        if key not in self._evaluators:
+            prep = make_prep(self.cfg, max_ori=max_ori,
+                             resize_long=self.cfg.eval.resize_long)
+            pe = np.asarray(self.clip_params["visual"]["positional_embedding"])
+            self._evaluators[key] = Evaluator(self.cfg, prep, pe,
+                                              policy=self.policy,
+                                              with_cam=with_cam, msc=msc)
+        return self._evaluators[key]
+
+    def _example(self, image_rgb: np.ndarray,
+                 class_ids: Optional[list] = None) -> Dict:
+        from weclip_tpu.data import transforms
+        img = transforms.normalize_img(
+            image_rgb, np.asarray(self.cfg.dataset.mean, np.float32),
+            np.asarray(self.cfg.dataset.std, np.float32))
+        num_fg = self.cfg.dataset.num_classes - 1
+        present = np.zeros(num_fg, bool)
+        if class_ids is None:
+            present[:] = True
+        else:
+            for c in class_ids:
+                present[int(c)] = True
+        oh, ow = image_rgb.shape[:2]
+        return {"name": "image", "img": np.transpose(img, (2, 0, 1)),
+                "img_raw": image_rgb.astype(np.uint8),
+                "label": np.zeros((oh, ow), np.int32),
+                "present_mask": present}
+
+    def _run_one(self, image_rgb: np.ndarray, with_cam: bool, msc: bool,
+                 class_ids=None):
+        ev = self._evaluator(max(image_rgb.shape[:2]), with_cam, msc)
+        ex = self._example(image_rgb, class_ids)
+        built = ev.build_batch([ex])
+        sb1, sb2, ops, labels, presents, cls_idx, cls_active = built
+        scale1 = ev.scale1_for(cls_idx.shape[1])
+        seg_single, seg_avg1, cam_labels = scale1(
+            self.params, self.frozen, sb1, presents, ops, cls_idx, cls_active)
+        if msc:
+            seg_avg2 = ev.scale2(self.params, self.frozen, sb2, presents)
+        else:
+            seg_avg2 = seg_avg1
+        return ev, ops, seg_single, seg_avg1, seg_avg2, cam_labels, ex
+
+    def segment(self, image_rgb: np.ndarray, msc: bool = True,
+                crf: bool = False) -> np.ndarray:
+        """Predicted (H, W) int32 segmentation at the original resolution."""
+        ev, ops, seg_single, seg_avg1, seg_avg2, _, ex = self._run_one(
+            image_rgb, with_cam=False, msc=msc)
+        logits = np.asarray(ev.msc_logits(seg_avg1, seg_avg2, ops))[0]
+        oh, ow = image_rgb.shape[:2]
+        logits = logits[:, :oh, :ow]
+        if crf:
+            from weclip_tpu.refine.crf import DenseCRF
+            lg = logits - logits.max(axis=0, keepdims=True)
+            prob = np.exp(lg)
+            prob /= prob.sum(axis=0, keepdims=True)
+            post = DenseCRF.from_config(self.cfg.eval.crf)
+            logits = post(ex["img_raw"], prob.astype(np.float32))
+        return logits.argmax(0).astype(np.int32)
+
+    def pseudo_label(self, image_rgb: np.ndarray,
+                     class_ids: Optional[list] = None) -> np.ndarray:
+        """CAM + affinity walk + PAR pseudo label (single scale, no flip
+        score use) — BASELINE configs[0]."""
+        _, _, _, _, _, cam_labels, _ = self._run_one(
+            image_rgb, with_cam=True, msc=False, class_ids=class_ids)
+        oh, ow = image_rgb.shape[:2]
+        return np.asarray(cam_labels)[0, :oh, :ow]

@@ -73,13 +73,16 @@ def gradcam_single(
     text_features: jax.Array,  # (T, E) rows: [fg_classes ; bg_classes]
     text_mask: jax.Array,      # (T,) bool: present fg + all bg
     valid: jax.Array,          # (L,) token validity
-    num_fg: int,
+    class_idx: jax.Array,      # (C,) int32 fg class ids to compute CAMs for
     cfg: ClipConfig,
     policy: precision.Policy = precision.DEFAULT,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """GradCAM for every foreground class of one image in one linearization.
+    """GradCAM for the given foreground classes of one image in one
+    linearization (the reference runs one backward per *present* class,
+    clip_tool.py:139-147 — ``class_idx`` is that compacted set, padded to a
+    static size).
 
-    Returns (cams (C_fg, P), attn_last (L, L), probs (T,)).
+    Returns (cams (C, P), attn_last (L, L), probs (T,)).
     """
     block11 = jax.tree_util.tree_map(lambda a: a[cfg.vision_layers - 1],
                                      visual_params["blocks"])
@@ -97,20 +100,20 @@ def gradcam_single(
 
     (probs, attn_last), pullback = jax.vjp(head_fn, a0)
 
-    # one softmax-probability seed per fg class; pullback vmapped over seeds
-    seeds = jnp.eye(num_fg, text_features.shape[0], dtype=probs.dtype)
+    # one softmax-probability seed per requested class
+    seeds = jax.nn.one_hot(class_idx, text_features.shape[0], dtype=probs.dtype)
     zero_attn = jnp.zeros_like(attn_last)
 
     def grad_for(seed):
         (g,) = pullback((seed, zero_attn))
         return g                                              # (L, D) grad at ln_1 out
 
-    grads = jax.vmap(grad_for)(seeds)                          # (C_fg, L, D)
+    grads = jax.vmap(grad_for)(seeds)                          # (C, L, D)
 
     # GradCAM: weights = mean over valid patch positions of the gradient
     pmask = valid[1:].astype(jnp.float32)
     denom = jnp.maximum(pmask.sum(), 1.0)
-    weights = jnp.sum(grads[:, 1:] * pmask[None, :, None], axis=1) / denom  # (C_fg, D)
+    weights = jnp.sum(grads[:, 1:] * pmask[None, :, None], axis=1) / denom  # (C, D)
     acts = a0[1:]                                              # (P, D) patch activations
     cams = jnp.einsum("cd,pd->cp", weights, acts.astype(jnp.float32))
     cams = jnp.maximum(cams, 0.0)
@@ -128,8 +131,13 @@ def gradcam_batch(
     num_fg: int,
     cfg: ClipConfig,
     policy: precision.Policy = precision.DEFAULT,
+    class_idx: jax.Array = None,   # (B, C) compacted class ids; default all fg
 ) -> CamOutputs:
-    f = lambda x, tm, v: gradcam_single(visual_params, logit_scale, x,
-                                        text_features, tm, v, num_fg, cfg, policy)
-    cams, attn_last, probs = jax.vmap(f)(x11, text_mask, valid)
+    if class_idx is None:
+        class_idx = jnp.broadcast_to(jnp.arange(num_fg, dtype=jnp.int32),
+                                     (x11.shape[0], num_fg))
+    f = lambda x, tm, v, ci: gradcam_single(visual_params, logit_scale, x,
+                                            text_features, tm, v, ci, cfg,
+                                            policy)
+    cams, attn_last, probs = jax.vmap(f)(x11, text_mask, valid, class_idx)
     return CamOutputs(cams, attn_last, probs)

@@ -1,0 +1,175 @@
+"""CAM-engine variant library.
+
+The reference vendors jacobgil/pytorch-grad-cam and exports a family of CAM
+methods (pytorch_grad_cam/__init__.py) of which WeCLIP's live path uses only
+GradCAM (SURVEY §2.2).  This module provides the same method surface as pure
+functions over the shared vjp plumbing in cam/gradcam.py — one forward +
+linearization per image, per-method weighting rules:
+
+- grad_cam:       w_c = mean_p g[p, c]                   (grad_cam.py:16-23)
+- grad_cam_pp:    GradCAM++ alpha-weighted ReLU grads    (grad_cam_plusplus.py)
+- xgrad_cam:      w_c = sum_p g[p,c] * a[p,c] / sum a    (xgrad_cam.py)
+- layer_cam:      cam = sum_c ReLU(g) * a (spatial)      (layer_cam.py)
+- eigen_cam:      first right-singular projection of a   (eigen_cam.py)
+- eigen_grad_cam: eigen on g * a                          (eigen_grad_cam.py)
+
+All return min-max normalized (C, P) maps like the reference's
+scale_cam_image epilogue (utils/image.py:51-61).  Score-CAM and the ablation
+variants perturb inputs per class channel — expressible as an extra batched
+forward; provided for completeness via ``score_cam``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from weclip_tpu.cam.gradcam import _image_text_probs, _minmax_valid
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import ClipConfig
+from weclip_tpu.models.clip import vit
+
+
+def _acts_and_grads(visual_params, logit_scale, x11, text_features,
+                    text_mask, valid, class_idx, cfg, policy):
+    """Shared plumbing: returns (acts (L,D), grads (C,L,D), probs)."""
+    block11 = jax.tree_util.tree_map(lambda a: a[cfg.vision_layers - 1],
+                                     visual_params["blocks"])
+    p = {"ln_post": visual_params["ln_post"], "proj": visual_params["proj"],
+         "logit_scale": logit_scale}
+    a0 = vit.layer_norm(x11, block11["ln_1"]["g"], block11["ln_1"]["b"])
+
+    def head_fn(a):
+        x_out, _ = vit.block_forward_from_ln1(
+            block11, x11[None], a[None], cfg.vision_heads,
+            valid=valid[None], policy=policy)
+        return _image_text_probs(p, x_out[0], text_features, text_mask,
+                                 valid, policy)
+
+    probs, pullback = jax.vjp(head_fn, a0)
+    seeds = jax.nn.one_hot(class_idx, text_features.shape[0],
+                           dtype=probs.dtype)
+    grads = jax.vmap(lambda s: pullback(s)[0])(seeds)
+    return a0, grads, probs
+
+
+def _finish(cam: jax.Array, valid: jax.Array) -> jax.Array:
+    cam = jnp.maximum(cam, 0.0)
+    return jax.vmap(lambda c: _minmax_valid(c, valid[1:].astype(bool)))(cam)
+
+
+def grad_cam(acts, grads, valid):
+    pm = valid[1:].astype(jnp.float32)
+    w = jnp.sum(grads[:, 1:] * pm[None, :, None], 1) / jnp.maximum(pm.sum(), 1.0)
+    return jnp.einsum("cd,pd->cp", w, acts[1:])
+
+
+def grad_cam_pp(acts, grads, valid):
+    """GradCAM++ (grad_cam_plusplus.py): alpha = g^2 / (2 g^2 + sum_p a g^3)."""
+    g = grads[:, 1:]
+    a = acts[1:][None]
+    g2, g3 = g * g, g * g * g
+    sum_a = jnp.sum(a * g3, axis=1, keepdims=True)
+    denom = 2.0 * g2 + sum_a
+    alpha = jnp.where(denom != 0.0, g2 / denom, 0.0)
+    pm = valid[1:].astype(jnp.float32)[None, :, None]
+    w = jnp.sum(alpha * jnp.maximum(g, 0.0) * pm, axis=1)
+    return jnp.einsum("cd,pd->cp", w, acts[1:])
+
+
+def xgrad_cam(acts, grads, valid):
+    """XGradCAM: w = sum_p g*a / (sum_p a + eps)."""
+    a = acts[1:][None]
+    pm = valid[1:].astype(jnp.float32)[None, :, None]
+    num = jnp.sum(grads[:, 1:] * a * pm, axis=1)
+    den = jnp.sum(a * pm, axis=1) + 1e-7
+    w = num / den
+    return jnp.einsum("cd,pd->cp", w, acts[1:])
+
+
+def layer_cam(acts, grads, valid):
+    """LayerCAM: cam_p = sum_d ReLU(g[p,d]) * a[p,d]."""
+    return jnp.sum(jnp.maximum(grads[:, 1:], 0.0) * acts[1:][None], axis=-1)
+
+
+def eigen_cam(acts, grads, valid):
+    """EigenCAM: projection onto the first right-singular vector of acts
+    (svd_on_activations.py) — gradient-free; same map for every class."""
+    pm = valid[1:].astype(jnp.float32)
+    a = acts[1:] * pm[:, None]
+    a = a - jnp.mean(a, axis=0, keepdims=True)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+    proj = a @ vt[0]
+    return jnp.broadcast_to(proj[None], (grads.shape[0], proj.shape[0]))
+
+
+def eigen_grad_cam(acts, grads, valid):
+    pm = valid[1:].astype(jnp.float32)
+
+    def one(g):
+        a = acts[1:] * g * pm[:, None]
+        a = a - jnp.mean(a, axis=0, keepdims=True)
+        _, _, vt = jnp.linalg.svd(a, full_matrices=False)
+        return a @ vt[0]
+
+    return jax.vmap(one)(grads[:, 1:])
+
+
+_WEIGHTED: Dict[str, Callable] = {
+    "grad_cam": grad_cam,
+    "grad_cam_pp": grad_cam_pp,
+    "xgrad_cam": xgrad_cam,
+    "layer_cam": layer_cam,
+    "eigen_cam": eigen_cam,
+    "eigen_grad_cam": eigen_grad_cam,
+}
+
+
+def cam_single(method: str, visual_params, logit_scale, x11, text_features,
+               text_mask, valid, class_idx, cfg: ClipConfig,
+               policy: precision.Policy = precision.DEFAULT):
+    """Compute CAMs (C, P) for one image with the chosen method."""
+    if method == "score_cam":
+        return score_cam(visual_params, logit_scale, x11, text_features,
+                         text_mask, valid, class_idx, cfg, policy)
+    acts, grads, _ = _acts_and_grads(visual_params, logit_scale, x11,
+                                     text_features, text_mask, valid,
+                                     class_idx, cfg, policy)
+    return _finish(_WEIGHTED[method](acts, grads, valid), valid)
+
+
+def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
+              valid, class_idx, cfg: ClipConfig,
+              policy: precision.Policy = precision.DEFAULT,
+              top_channels: int = 32):
+    """ScoreCAM (score_cam.py): re-score the model with activation-masked
+    inputs; channels are ranked by activation energy and the top-k scored
+    (the upstream scores all channels — prohibitive at 768; top-k keeps the
+    method available at sane cost)."""
+    block11 = jax.tree_util.tree_map(lambda a: a[cfg.vision_layers - 1],
+                                     visual_params["blocks"])
+    p = {"ln_post": visual_params["ln_post"], "proj": visual_params["proj"],
+         "logit_scale": logit_scale}
+    a0 = vit.layer_norm(x11, block11["ln_1"]["g"], block11["ln_1"]["b"])
+
+    energy = jnp.sum(jnp.abs(a0[1:]), axis=0)
+    top = jnp.argsort(-energy)[:top_channels]
+
+    def probs_of(a):
+        x_out, _ = vit.block_forward_from_ln1(
+            block11, x11[None], a[None], cfg.vision_heads,
+            valid=valid[None], policy=policy)
+        return _image_text_probs(p, x_out[0], text_features, text_mask,
+                                 valid, policy)
+
+    def channel_score(d):
+        m = a0[:, d]
+        m = (m - m.min()) / (m.max() - m.min() + 1e-7)
+        return probs_of(a0 * m[:, None])
+
+    scores = jax.vmap(channel_score)(top)                 # (K, T)
+    w = jax.nn.softmax(scores[:, class_idx], axis=0)      # (K, C)
+    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, top])
+    return _finish(cam, valid)

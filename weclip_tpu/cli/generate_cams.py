@@ -105,7 +105,7 @@ def main():
         n_real = len(examples)
         while len(examples) < bsz:
             examples.append(examples[-1])
-        sb1, _, ops, _, presents = ev.build_batch(examples)
+        sb1, _, ops, _, presents, _, _ = ev.build_batch(examples)
         highres = np.asarray(cams_for_batch(None, sb1, presents, ops))
         for j in range(n_real):
             ex = examples[j]

@@ -35,7 +35,7 @@ from weclip_tpu.core.config import Config
 from weclip_tpu.models import weclip
 from weclip_tpu.models.clip import vit
 from weclip_tpu.refine import affinity as aff
-from weclip_tpu.refine.par import par_refine
+from weclip_tpu.refine.par import par_refine_auto
 
 
 class ScaleBatch(NamedTuple):
@@ -72,13 +72,21 @@ def _resize_pair(grid: jax.Array, mh: jax.Array, mw: jax.Array) -> jax.Array:
 
 
 def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
-                     with_cam: bool = True):
-    """Returns jitted fn: (params, frozen, sb: ScaleBatch, present, ops)
-    -> (seg_single (B,K,G,G), seg_flipavg (B,K,G,G), cam_labels (B,Hc,Wc))."""
+                     with_cam: bool = True, max_classes: int = None):
+    """Returns jitted fn: (params, frozen, sb, present, ops, cls_idx,
+    cls_active) -> (seg_single (B,K,G,G), seg_flipavg (B,K,G,G),
+    cam_labels (B,Hc,Wc)).
+
+    ``max_classes`` compacts the per-class work (CAM pullbacks, walk, PAR
+    channels) to a static bucket of *present* classes per image — exactly
+    the classes the reference iterates over (clip_tool.py:139) — instead of
+    all C_fg.  cls_idx (B, MC) holds the class ids, cls_active their
+    validity."""
     num_fg = cfg.dataset.num_classes - 1
 
     @jax.jit
-    def run(params, frozen, sb: ScaleBatch, present_mask, ops: EvalOps):
+    def run(params, frozen, sb: ScaleBatch, present_mask, ops: EvalOps,
+            cls_idx, cls_active):
         b = sb.img.shape[0]
         g = sb.img.shape[-1] // cfg.clip.patch_size
         # flip-concatenated forward (test_msc_flip_voc.py:68)
@@ -115,7 +123,8 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
              jnp.ones((b, frozen["bg_text"].shape[0]), bool)], axis=1)
         cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
                                 feats_u.layer_tokens[-1], text_features,
-                                text_mask, sb.valid, num_fg, cfg.clip, policy)
+                                text_mask, sb.valid, num_fg, cfg.clip, policy,
+                                class_idx=cls_idx)
         valid_p = sb.valid[:, 1:].astype(jnp.float32)
         # mode == 'val' always gates by the learned affinity
         # (model_attn_aff_voc.py:146)
@@ -137,18 +146,22 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
             in_axes=(0, None)))(refined, sb.valid[:, 1:])
 
         # grid -> original resolution on the output canvas (clamp-replicated)
-        cam_ori = _resize_pair(normed.reshape(b, num_fg, g, g),
+        mc = cls_idx.shape[1]
+        cam_ori = _resize_pair(normed.reshape(b, mc, g, g),
                                ops.mh_cam, ops.mw_cam)
-        present = present_mask.astype(jnp.float32)[:, :, None, None]
-        fg_scores = jnp.where(present > 0, cam_ori, -1.0)
-        max_present = jnp.max(jnp.where(present > 0, cam_ori, 0.0),
+        active = cls_active.astype(jnp.float32)[:, :, None, None]
+        fg_scores = jnp.where(active > 0, cam_ori, -1.0)
+        max_present = jnp.max(jnp.where(active > 0, cam_ori, 0.0),
                               axis=1, keepdims=True)
         bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
         stack = jnp.concatenate([bg_score, fg_scores], axis=1)
 
         img_ori = _resize_pair(sb.img, ops.mh_img, ops.mw_img)
-        par_out = par_refine(img_ori, stack, cfg.par)
-        cam_labels = jnp.argmax(par_out, axis=1).astype(jnp.int32)
+        par_out = par_refine_auto(img_ori, stack, cfg.par)
+        idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)   # compacted ids
+        lut = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], 1)
+        cam_labels = jax.vmap(lambda l, ix: l[ix])(lut, idx)
         return seg_u, seg_avg, cam_labels
 
     return run

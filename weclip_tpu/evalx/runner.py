@@ -88,17 +88,33 @@ def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
 class Evaluator:
     def __init__(self, cfg: Config, prep: EvalPrep, pe_table: np.ndarray,
                  policy: precision.Policy = precision.DEFAULT,
-                 with_cam: bool = True, msc: bool = True):
+                 with_cam: bool = True, msc: bool = True,
+                 class_buckets: Tuple[int, ...] = (4, 8)):
         self.cfg = cfg
         self.prep = prep
         self.pe_table = np.asarray(pe_table, np.float32)
         self.with_cam = with_cam
         self.msc = msc
-        self.scale1 = make_eval_scale1(cfg, policy, with_cam=with_cam)
+        self.policy = policy
+        num_fg = cfg.dataset.num_classes - 1
+        self.class_buckets = tuple(b for b in class_buckets if b < num_fg) + (num_fg,)
+        self._scale1_cache: dict = {}
         self.scale2 = make_eval_scale2(cfg, policy) if msc else None
         self.combine = make_eval_combine(cfg, msc=msc)
         self.msc_logits = make_msc_logits(cfg, msc=msc)
         self._pe_cache: dict = {}
+
+    def scale1_for(self, mc: int):
+        if mc not in self._scale1_cache:
+            self._scale1_cache[mc] = make_eval_scale1(
+                self.cfg, self.policy, with_cam=self.with_cam, max_classes=mc)
+        return self._scale1_cache[mc]
+
+    def class_compaction(self, presents: np.ndarray):
+        """(B, C_fg) present mask -> bucketed (cls_idx (B,MC), active (B,MC))."""
+        from weclip_tpu.core.compaction import compact_classes, pick_bucket
+        mc = pick_bucket(presents, self.class_buckets)
+        return compact_classes(presents, mc)
 
     # -- host batch assembly -------------------------------------------------
     def build_batch(self, examples) -> Tuple[ScaleBatch, ScaleBatch, EvalOps,
@@ -153,8 +169,11 @@ class Evaluator:
         sb1 = stack_scale(cols1)
         sb2 = stack_scale(cols2) if self.msc else sb1
         ops = EvalOps(*(jnp.asarray(np.stack(c)) for c in zip(*ops_rows)))
+        presents = np.stack(presents)
+        cls_idx, cls_active = self.class_compaction(presents)
         return (sb1, sb2, ops, jnp.asarray(np.stack(labels)),
-                jnp.asarray(np.stack(presents)))
+                jnp.asarray(presents), jnp.asarray(cls_idx),
+                jnp.asarray(cls_active))
 
     # -- dataset loop ---------------------------------------------------------
     def run(self, params, frozen, dataset,
@@ -196,9 +215,10 @@ class Evaluator:
             examples, n_real, built = pending.result()
             if i + 1 < len(starts):
                 pending = pool.submit(prepare, starts[i + 1])
-            sb1, sb2, ops, labels, presents = built
-            seg_single, seg_avg1, cam_labels = self.scale1(
-                params, frozen, sb1, presents, ops)
+            sb1, sb2, ops, labels, presents, cls_idx, cls_active = built
+            scale1 = self.scale1_for(cls_idx.shape[1])
+            seg_single, seg_avg1, cam_labels = scale1(
+                params, frozen, sb1, presents, ops, cls_idx, cls_active)
             if self.msc:
                 seg_avg2 = self.scale2(params, frozen, sb2, presents)
             else:

@@ -31,7 +31,7 @@ from weclip_tpu.models import heads
 from weclip_tpu.models.clip import vit
 from weclip_tpu.ops.resize import resize_bilinear
 from weclip_tpu.refine import affinity as aff
-from weclip_tpu.refine.par import par_refine
+from weclip_tpu.refine.par import par_refine_auto
 
 
 class Batch(NamedTuple):
@@ -103,18 +103,29 @@ def pseudo_labels(
     require_seg_trans: jax.Array,      # bool scalar (iter > threshold or val)
     out_hw: Tuple[int, int],
     policy: precision.Policy,
+    cls_idx: Optional[jax.Array] = None,     # (B, MC) compacted class ids
+    cls_active: Optional[jax.Array] = None,  # (B, MC) validity
 ) -> Tuple[jax.Array, jax.Array]:
     """On-device CAM -> walk -> PAR pseudo-label chain (train-crop shapes).
 
-    Returns (cam_labels (B, H, W) int32, cams_refined (B, C_fg, P)).
+    With ``cls_idx``/``cls_active`` the per-class work runs only on a static
+    bucket of present classes (core/compaction.py), exactly like the
+    reference's loop over present classes.
+
+    Returns (cam_labels (B, H, W) int32, cams_refined (B, MC, P)).
     """
     b = batch.img.shape[0]
     h, w = out_hw
     g0, g1 = h // cfg.clip.patch_size, w // cfg.clip.patch_size
     num_fg = cfg.dataset.num_classes - 1
     num_bg = frozen["bg_text"].shape[0]
+    if cls_idx is None:
+        cls_idx = jnp.broadcast_to(jnp.arange(num_fg, dtype=jnp.int32),
+                                   (b, num_fg))
+        cls_active = batch.present_mask.astype(bool)
+    mc = cls_idx.shape[1]
 
-    # ---- GradCAM over all fg classes (cam/gradcam.py) --------------------
+    # ---- GradCAM over the class bucket (cam/gradcam.py) ------------------
     text_features = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], axis=0)
     text_mask = jnp.concatenate(
         [batch.present_mask.astype(bool),
@@ -122,7 +133,7 @@ def pseudo_labels(
     x11 = feats.layer_tokens[-1]                              # input to block 11
     cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"], x11,
                             text_features, text_mask, batch.valid,
-                            num_fg, cfg.clip, policy)
+                            num_fg, cfg.clip, policy, class_idx=cls_idx)
 
     # ---- attention fusion (plain vs learned-affinity-gated) --------------
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
@@ -157,16 +168,19 @@ def pseudo_labels(
         return _minmax_valid(c, v.astype(bool))
 
     normed = jax.vmap(jax.vmap(norm_one, in_axes=(0, None)))(refined, valid_pb)
-    cam_hw = resize_bilinear(normed.reshape(b, num_fg, g0, g1), h, w)
+    cam_hw = resize_bilinear(normed.reshape(b, mc, g0, g1), h, w)
 
-    present = batch.present_mask.astype(jnp.float32)[:, :, None, None]
-    fg_scores = jnp.where(present > 0, cam_hw, -1.0)
-    max_present = jnp.max(jnp.where(present > 0, cam_hw, 0.0), axis=1, keepdims=True)
+    active = cls_active.astype(jnp.float32)[:, :, None, None]
+    fg_scores = jnp.where(active > 0, cam_hw, -1.0)
+    max_present = jnp.max(jnp.where(active > 0, cam_hw, 0.0), axis=1, keepdims=True)
     bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
-    stack = jnp.concatenate([bg_score, fg_scores], axis=1)    # (B, 1+C_fg, H, W)
+    stack = jnp.concatenate([bg_score, fg_scores], axis=1)    # (B, 1+MC, H, W)
 
-    par_out = par_refine(batch.img, stack, cfg.par)
-    cam_labels = jnp.argmax(par_out, axis=1).astype(jnp.int32)
+    par_out = par_refine_auto(batch.img, stack, cfg.par)
+    idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)
+    lut = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], axis=1)
+    cam_labels = jax.vmap(lambda l, ix: l[ix])(lut, idx)
     return cam_labels, refined
 
 
@@ -179,6 +193,8 @@ def forward_train(
     dropout_rng: Optional[jax.Array] = None,
     policy: precision.Policy = precision.DEFAULT,
     with_pseudo: bool = True,
+    cls_idx: Optional[jax.Array] = None,
+    cls_active: Optional[jax.Array] = None,
 ) -> ForwardOutputs:
     """Full training-mode forward (model_attn_aff_voc.py:107-175).
 
@@ -190,7 +206,7 @@ def forward_train(
     if with_pseudo:
         cam_labels, refined = pseudo_labels(
             frozen, feats, attn_pred, batch, cfg, require_seg_trans,
-            (h, w), policy)
+            (h, w), policy, cls_idx=cls_idx, cls_active=cls_active)
     else:
         b = batch.img.shape[0]
         cam_labels = jnp.zeros((b, h, w), jnp.int32)

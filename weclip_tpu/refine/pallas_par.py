@@ -52,10 +52,10 @@ def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, *,
     src = masks_ref[...]                                  # (CT, Hp, Wp)
     hp, wp = src.shape[1], src.shape[2]
     # dynamic shifts as rolls + static aligned slices (Mosaic cannot prove
-    # alignment of dynamic slice offsets; rolls have no such constraint)
-    rolled = pltpu.roll(src, (-(d + dy)) % hp, 1)
-    rolled = pltpu.roll(rolled, (-(_LANE + dx)) % wp, 2)
-    shifted = rolled[:, 0:h, 0:w_pad]
+    # alignment of dynamic slice offsets; rolls have no such constraint);
+    # rows are cropped before the lane roll to shrink the shuffle volume
+    band = pltpu.roll(src, (-(d + dy)) % hp, 1)[:, 0:h, :]
+    shifted = pltpu.roll(band, (-(_LANE + dx)) % wp, 2)[:, :, 0:w_pad]
     contrib = shifted * aff_ref[0][None]
 
     @pl.when(k == 0)

@@ -51,9 +51,10 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
     rmask = jnp.asarray(losses.radius_mask(g, g, cfg.train.radius))
 
     def loss_fn(params, frozen, batch: weclip.Batch, require_seg_trans,
-                dropout_rng):
+                dropout_rng, cls_idx, cls_active):
         out = weclip.forward_train(params, frozen, batch, cfg,
-                                   require_seg_trans, dropout_rng, policy)
+                                   require_seg_trans, dropout_rng, policy,
+                                   cls_idx=cls_idx, cls_active=cls_active)
         b = batch.img.shape[0]
         seg_grid = out.seg.reshape(b, g, g, -1).transpose(0, 3, 1, 2)
         seg_hw = resize_bilinear(seg_grid, crop, crop)        # (B,K,H,W)
@@ -71,13 +72,15 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, frozen, batch: weclip.Batch,
-                   rng: jax.Array) -> Tuple[TrainState, StepMetrics]:
+                   rng: jax.Array, cls_idx=None, cls_active=None
+                   ) -> Tuple[TrainState, StepMetrics]:
         # reference increments iter_num at the top of forward and compares
         # iter_num > 15000 (model_attn_aff_voc.py:111,146)
         require_seg_trans = (state.step + 1) > cfg.train.seg_trans_start_iter
         dropout_rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, frozen, batch, require_seg_trans, dropout_rng)
+            state.params, frozen, batch, require_seg_trans, dropout_rng,
+            cls_idx, cls_active)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics

@@ -140,7 +140,14 @@ def train(cfg: Config, resume: bool = False,
             jax.profiler.start_trace(os.path.join(cfg.work_dir.dir, "profile"))
         host_batch = next(it)
         batch = make_device_batch(host_batch, pos_emb, valid, grid, mesh)
-        state, m = step_fn(state, frozen, batch, rng)
+        # static class-bucket compaction: the jit re-specializes per bucket
+        # size (typically one or two buckets over a whole run)
+        from weclip_tpu.core.compaction import compact_classes, pick_bucket
+        mc = pick_bucket(host_batch["present_mask"], (4, 8, 16,
+                                                      cfg.dataset.num_classes - 1))
+        ci, ca = compact_classes(host_batch["present_mask"], mc)
+        dev_c = meshlib.shard_batch(mesh, {"ci": ci, "ca": ca})
+        state, m = step_fn(state, frozen, batch, rng, dev_c["ci"], dev_c["ca"])
         losses.append(m)
         if profile_steps and n_iter == profile_steps[1]:
             jax.block_until_ready(m.loss)
