@@ -74,7 +74,7 @@ def main():
     policy = precision.make_policy("bfloat16")
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
 
-    (sb1, sb2, ops, labels, presents,
+    (sb1, sb2, sizes, labels, presents,
      cls_idx, cls_active) = ev.build_batch(examples)
     scale1 = ev.scale1_for(cls_idx.shape[1])
     k = cfg.dataset.num_classes
@@ -82,11 +82,11 @@ def main():
 
     def one_round(hists):
         seg_single, seg_avg1, cam_labels = scale1(params, frozen, sb1,
-                                                  presents, ops,
+                                                  presents, sizes,
                                                   cls_idx, cls_active)
         seg_avg2 = ev.scale2(params, frozen, sb2, presents)
         ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
-                                   cam_labels, labels, ops, hists)
+                                   cam_labels, labels, sizes, hists)
         return ps, pm, hists
 
     # warmup (compile)

@@ -143,15 +143,15 @@ def test_batched_engine_matches_exact():
     # run batched engine manually to capture predictions (class compaction
     # active: bucket 4 while the exact path computes all classes)
     examples = [ds[0], ds[1]]
-    sb1, sb2, ops, labels, presents, cls_idx, cls_active = ev.build_batch(examples)
+    sb1, sb2, dsizes, labels, presents, cls_idx, cls_active = ev.build_batch(examples)
     assert cls_idx.shape[1] == 4          # compacted bucket in play
     seg_single, seg_avg1, cam_labels = ev.scale1_for(cls_idx.shape[1])(
-        params, frozen, sb1, presents, ops, cls_idx, cls_active)
+        params, frozen, sb1, presents, dsizes, cls_idx, cls_active)
     seg_avg2 = ev.scale2(params, frozen, sb2, presents)
     k = cfg.dataset.num_classes
     hists = (metrics.zero_hist(k),) * 3
     pred_single, pred_msc, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
-                                              cam_labels, labels, ops, hists)
+                                              cam_labels, labels, dsizes, hists)
 
     for i, (oh, ow) in enumerate(sizes):
         e_single, e_msc, e_cam = exact_eval_one(

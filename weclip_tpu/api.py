@@ -80,22 +80,22 @@ class WeCLIPPipeline:
         ev = self._evaluator(max(image_rgb.shape[:2]), with_cam, msc)
         ex = self._example(image_rgb, class_ids)
         built = ev.build_batch([ex])
-        sb1, sb2, ops, labels, presents, cls_idx, cls_active = built
+        sb1, sb2, sizes, labels, presents, cls_idx, cls_active = built
         scale1 = ev.scale1_for(cls_idx.shape[1])
         seg_single, seg_avg1, cam_labels = scale1(
-            self.params, self.frozen, sb1, presents, ops, cls_idx, cls_active)
+            self.params, self.frozen, sb1, presents, sizes, cls_idx, cls_active)
         if msc:
             seg_avg2 = ev.scale2(self.params, self.frozen, sb2, presents)
         else:
             seg_avg2 = seg_avg1
-        return ev, ops, seg_single, seg_avg1, seg_avg2, cam_labels, ex
+        return ev, sizes, seg_single, seg_avg1, seg_avg2, cam_labels, ex
 
     def segment(self, image_rgb: np.ndarray, msc: bool = True,
                 crf: bool = False) -> np.ndarray:
         """Predicted (H, W) int32 segmentation at the original resolution."""
-        ev, ops, seg_single, seg_avg1, seg_avg2, _, ex = self._run_one(
+        ev, sizes, seg_single, seg_avg1, seg_avg2, _, ex = self._run_one(
             image_rgb, with_cam=False, msc=msc)
-        logits = np.asarray(ev.msc_logits(seg_avg1, seg_avg2, ops))[0]
+        logits = np.asarray(ev.msc_logits(seg_avg1, seg_avg2, sizes))[0]
         oh, ow = image_rgb.shape[:2]
         logits = logits[:, :oh, :ow]
         if crf:

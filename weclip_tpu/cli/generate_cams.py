@@ -61,8 +61,10 @@ def main():
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=False)
     num_fg = cfg.dataset.num_classes - 1
 
+    from weclip_tpu.evalx.engine import _dev_ops_cam
+
     @jax.jit
-    def cams_for_batch(params_unused, sb, presents, ops):
+    def cams_for_batch(params_unused, sb, presents, sizes):
         g = sb.img.shape[-1] // cfg.clip.patch_size
         batch = weclip_mod.Batch(sb.img, sb.pos_emb, sb.valid, sb.gh, sb.gw,
                                  presents)
@@ -93,9 +95,11 @@ def main():
             lambda c, v: _minmax_valid(c, v.astype(bool)),
             in_axes=(0, None)))(refined, sb.valid[:, 1:])
         # grid -> original resolution
+        mh_cam, mw_cam = _dev_ops_cam(sizes, prep.canvas_out, prep.grid1,
+                                      cfg.clip.patch_size)
         grid = normed.reshape(normed.shape[0], num_fg, g, g)
-        y = jnp.einsum("bog,bcgh->bcoh", ops.mh_cam, grid)
-        return jnp.einsum("bph,bcoh->bcop", ops.mw_cam, y)
+        y = jnp.einsum("bog,bcgh->bcoh", mh_cam, grid)
+        return jnp.einsum("bph,bcoh->bcop", mw_cam, y)
 
     os.makedirs(args.out, exist_ok=True)
     bsz = cfg.eval.batch_images
@@ -105,8 +109,8 @@ def main():
         n_real = len(examples)
         while len(examples) < bsz:
             examples.append(examples[-1])
-        sb1, _, ops, _, presents, _, _ = ev.build_batch(examples)
-        highres = np.asarray(cams_for_batch(None, sb1, presents, ops))
+        sb1, _, sizes, _, presents, _, _ = ev.build_batch(examples)
+        highres = np.asarray(cams_for_batch(None, sb1, presents, sizes))
         for j in range(n_real):
             ex = examples[j]
             oh, ow = ex["label"].shape

@@ -47,14 +47,46 @@ class ScaleBatch(NamedTuple):
     gw: jax.Array           # (B,)
 
 
-class EvalOps(NamedTuple):
-    """Host-built per-image resize operators (evalx/operators.py)."""
-    mh_cam: jax.Array       # (B, canvas, G1)  grid -> original rows
-    mw_cam: jax.Array       # (B, canvas, G1)
-    mh_img: jax.Array       # (B, canvas, Hc)  pixels -> original rows (ac=True)
-    mw_img: jax.Array       # (B, canvas, Wc)
-    mh_s2: jax.Array        # (B, G1, G2)      0.75 grid -> scale-1 grid
-    mw_s2: jax.Array        # (B, G1, G2)
+class EvalSizes(NamedTuple):
+    """Per-image true sizes — the resize operators are built on device from
+    these (evalx/operators.py::device_resize_matrix), so the host ships six
+    ints per image instead of megabytes of interpolation matrices."""
+    oh: jax.Array           # (B,) original height
+    ow: jax.Array           # (B,) original width
+    h1: jax.Array           # (B,) scale-1 input pixels
+    w1: jax.Array           # (B,)
+    h2: jax.Array           # (B,) scale-2 input pixels
+    w2: jax.Array           # (B,)
+
+
+def _dev_ops_cam(sizes: EvalSizes, canvas_out: int, grid1: int, patch: int):
+    from weclip_tpu.evalx.operators import device_resize_matrix as drm
+
+    def per_image(oh, ow, h1, w1):
+        return (drm(h1 // patch, oh, canvas_out, grid1),
+                drm(w1 // patch, ow, canvas_out, grid1))
+
+    return jax.vmap(per_image)(sizes.oh, sizes.ow, sizes.h1, sizes.w1)
+
+
+def _dev_ops_img(sizes: EvalSizes, canvas_out: int, canvas_in1: int):
+    from weclip_tpu.evalx.operators import device_resize_matrix as drm
+
+    def per_image(oh, ow, h1, w1):
+        return (drm(h1, oh, canvas_out, canvas_in1, align_corners=True),
+                drm(w1, ow, canvas_out, canvas_in1, align_corners=True))
+
+    return jax.vmap(per_image)(sizes.oh, sizes.ow, sizes.h1, sizes.w1)
+
+
+def _dev_ops_s2(sizes: EvalSizes, grid1: int, grid2: int, patch: int):
+    from weclip_tpu.evalx.operators import device_resize_matrix as drm
+
+    def per_image(h1, w1, h2, w2):
+        return (drm(jnp.maximum(h2 // patch, 1), h1 // patch, grid1, grid2),
+                drm(jnp.maximum(w2 // patch, 1), w1 // patch, grid1, grid2))
+
+    return jax.vmap(per_image)(sizes.h1, sizes.w1, sizes.h2, sizes.w2)
 
 
 def _flip_valid(x: jax.Array, w_valid: jax.Array, axis: int) -> jax.Array:
@@ -72,7 +104,8 @@ def _resize_pair(grid: jax.Array, mh: jax.Array, mw: jax.Array) -> jax.Array:
 
 
 def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
-                     with_cam: bool = True, max_classes: int = None):
+                     with_cam: bool = True, max_classes: int = None,
+                     prep=None):
     """Returns jitted fn: (params, frozen, sb, present, ops, cls_idx,
     cls_active) -> (seg_single (B,K,G,G), seg_flipavg (B,K,G,G),
     cam_labels (B,Hc,Wc)).
@@ -84,8 +117,11 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
     validity."""
     num_fg = cfg.dataset.num_classes - 1
 
+    canvas_out, grid1 = prep.canvas_out, prep.grid1
+    patch = cfg.clip.patch_size
+
     @jax.jit
-    def run(params, frozen, sb: ScaleBatch, present_mask, ops: EvalOps,
+    def run(params, frozen, sb: ScaleBatch, present_mask, sizes: EvalSizes,
             cls_idx, cls_active):
         b = sb.img.shape[0]
         g = sb.img.shape[-1] // cfg.clip.patch_size
@@ -110,7 +146,7 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
         seg_avg = (seg_u + seg_fl) / 2.0                       # (B,K,G,G)
 
         if not with_cam:
-            cam_labels = jnp.zeros((b,) + ops.mh_img.shape[1:2] * 2, jnp.int32)
+            cam_labels = jnp.zeros((b, canvas_out, canvas_out), jnp.int32)
             return seg_u, seg_avg, cam_labels
 
         # ---- pseudo-label chain on the unflipped half ---------------------
@@ -145,10 +181,11 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
             lambda c, v: _minmax_valid(c, v.astype(bool)),
             in_axes=(0, None)))(refined, sb.valid[:, 1:])
 
-        # grid -> original resolution on the output canvas (clamp-replicated)
+        # grid -> original resolution on the output canvas (clamp-replicated);
+        # the resize operators are built on device from the per-image sizes
+        mh_cam, mw_cam = _dev_ops_cam(sizes, canvas_out, grid1, patch)
         mc = cls_idx.shape[1]
-        cam_ori = _resize_pair(normed.reshape(b, mc, g, g),
-                               ops.mh_cam, ops.mw_cam)
+        cam_ori = _resize_pair(normed.reshape(b, mc, g, g), mh_cam, mw_cam)
         active = cls_active.astype(jnp.float32)[:, :, None, None]
         fg_scores = jnp.where(active > 0, cam_ori, -1.0)
         max_present = jnp.max(jnp.where(active > 0, cam_ori, 0.0),
@@ -156,7 +193,8 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
         bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
         stack = jnp.concatenate([bg_score, fg_scores], axis=1)
 
-        img_ori = _resize_pair(sb.img, ops.mh_img, ops.mw_img)
+        mh_img, mw_img = _dev_ops_img(sizes, canvas_out, sb.img.shape[-1])
+        img_ori = _resize_pair(sb.img, mh_img, mw_img)
         par_out = par_refine_auto(img_ori, stack, cfg.par)
         idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)   # compacted ids
         lut = jnp.concatenate(
@@ -195,26 +233,28 @@ def make_eval_scale2(cfg: Config, policy: precision.Policy = precision.DEFAULT):
     return run
 
 
-def make_eval_combine(cfg: Config, msc: bool = True):
+def make_eval_combine(cfg: Config, msc: bool = True, prep=None):
     """Scale fusion + original-resolution predictions + hist updates
     (test_msc_flip_voc.py:86-107)."""
     from weclip_tpu.evalx.metrics import confusion_update
     k = cfg.dataset.num_classes
+    patch = cfg.clip.patch_size
 
     @jax.jit
-    def run(seg_single, seg_avg1, seg_avg2, cam_labels, label, ops: EvalOps,
-            hists):
+    def run(seg_single, seg_avg1, seg_avg2, cam_labels, label,
+            sizes: EvalSizes, hists):
         if msc:
             # 0.75 grid -> scale-1 grid, then mean over scales
-            seg2_on1 = _resize_pair(seg_avg2, ops.mh_s2, ops.mw_s2)
+            mh_s2, mw_s2 = _dev_ops_s2(sizes, prep.grid1, prep.grid2, patch)
+            seg2_on1 = _resize_pair(seg_avg2, mh_s2, mw_s2)
             msc_seg = (seg_avg1 + seg2_on1) / 2.0
         else:
             msc_seg = seg_avg1
 
-        pred_single = jnp.argmax(_resize_pair(seg_single, ops.mh_cam,
-                                              ops.mw_cam), axis=1)
-        pred_msc = jnp.argmax(_resize_pair(msc_seg, ops.mh_cam, ops.mw_cam),
-                              axis=1)
+        mh_cam, mw_cam = _dev_ops_cam(sizes, prep.canvas_out, prep.grid1, patch)
+        pred_single = jnp.argmax(_resize_pair(seg_single, mh_cam, mw_cam),
+                                 axis=1)
+        pred_msc = jnp.argmax(_resize_pair(msc_seg, mh_cam, mw_cam), axis=1)
 
         h_single, h_msc, h_cam = hists
         h_single = confusion_update(h_single, label, pred_single, num_classes=k)
@@ -225,18 +265,21 @@ def make_eval_combine(cfg: Config, msc: bool = True):
     return run
 
 
-def make_msc_logits(cfg: Config, msc: bool = True):
+def make_msc_logits(cfg: Config, msc: bool = True, prep=None):
     """Original-resolution msc logits for CRF post-processing
     (crf_proc loads saved msc_segs and resizes them to the image size,
     test_msc_flip_voc.py:140-154)."""
+    patch = cfg.clip.patch_size
 
     @jax.jit
-    def run(seg_avg1, seg_avg2, ops: EvalOps):
+    def run(seg_avg1, seg_avg2, sizes: EvalSizes):
         if msc:
-            seg2_on1 = _resize_pair(seg_avg2, ops.mh_s2, ops.mw_s2)
+            mh_s2, mw_s2 = _dev_ops_s2(sizes, prep.grid1, prep.grid2, patch)
+            seg2_on1 = _resize_pair(seg_avg2, mh_s2, mw_s2)
             msc_seg = (seg_avg1 + seg2_on1) / 2.0
         else:
             msc_seg = seg_avg1
-        return _resize_pair(msc_seg, ops.mh_cam, ops.mw_cam)
+        mh_cam, mw_cam = _dev_ops_cam(sizes, prep.canvas_out, prep.grid1, patch)
+        return _resize_pair(msc_seg, mh_cam, mw_cam)
 
     return run

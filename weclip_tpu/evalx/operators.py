@@ -65,6 +65,29 @@ def identity_grid_matrix(in_size: int, src_pad: int, canvas: int) -> np.ndarray:
     return clamp_resize_matrix(in_size, in_size, canvas, src_pad)
 
 
+def device_resize_matrix(in_size, out_size, canvas: int, src_pad: int,
+                         align_corners: bool = False):
+    """On-device closed-form clamp-resize matrix from *traced* sizes.
+
+    Bilinear interpolation weights are the triangular hat function
+    max(0, 1 - |src(r) - c|); rows past out_size repeat the last row
+    (edge replication) because the target coordinate clamps.  Equivalent to
+    clamp_resize_matrix but built inside jit from two scalars — so the host
+    ships 4 ints per image instead of megabytes of matrices."""
+    import jax.numpy as jnp
+    in_f = jnp.asarray(in_size, jnp.float32)
+    out_f = jnp.asarray(out_size, jnp.float32)
+    r = jnp.arange(canvas, dtype=jnp.float32)
+    dst = jnp.minimum(r, out_f - 1.0)
+    if align_corners:
+        src = dst * (in_f - 1.0) / jnp.maximum(out_f - 1.0, 1.0)
+    else:
+        src = (dst + 0.5) * (in_f / out_f) - 0.5
+    src = jnp.clip(src, 0.0, in_f - 1.0)
+    c = jnp.arange(src_pad, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - c[None, :]))
+
+
 class EvalOperators:
     """Per-image operator bundle for one (scale-1) eval example."""
 

@@ -26,10 +26,9 @@ import numpy as np
 from weclip_tpu.core import precision
 from weclip_tpu.core.config import Config
 from weclip_tpu.evalx import metrics
-from weclip_tpu.evalx.engine import (EvalOps, ScaleBatch, make_eval_combine,
+from weclip_tpu.evalx.engine import (EvalSizes, ScaleBatch, make_eval_combine,
                                      make_eval_scale1, make_eval_scale2,
                                      make_msc_logits)
-from weclip_tpu.evalx.operators import clamp_resize_matrix
 from weclip_tpu.models.clip.vit import pos_emb_host
 
 
@@ -60,16 +59,22 @@ def make_prep(cfg: Config, max_ori: int, resize_long: Optional[int]) -> EvalPrep
 
 def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
                    canvas: int, patch: int, pe_table: np.ndarray,
-                   pe_cache: dict):
-    """Pad one (3,H,W) float image onto a canvas; return pieces of ScaleBatch."""
+                   pe_cache: dict, img_out: np.ndarray):
+    """Resize-and-pad one (3,H,W) float image into the preallocated batch
+    slot ``img_out`` (host memcpy is expensive on small hosts — one write,
+    no stacking copies); returns (pe_dev, valid_dev, gh, gw).
+
+    Positional embeddings and validity masks are cached *on device* per
+    grid size, so repeated sizes cost nothing on the host."""
+    import jax.numpy as jnp
     h, w = target_hw
     if (h, w) != img_chw.shape[1:]:
         img_chw = cv2.resize(img_chw.transpose(1, 2, 0), (w, h),
                              interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
     gh, gw = h // patch, w // patch
     g = canvas // patch
-    out = np.zeros((3, canvas, canvas), np.float32)
-    out[:, :h, :w] = img_chw
+    img_out[:] = 0.0
+    img_out[:, :h, :w] = img_chw
     key = (gh, gw, g)
     cached = pe_cache.get(key)
     if cached is None:
@@ -79,10 +84,10 @@ def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
         vg = np.zeros((g, g), bool)
         vg[:gh, :gw] = True
         valid[1:] = vg.reshape(-1)
-        pe_cache[key] = (pe, valid)
-    else:
-        pe, valid = cached
-    return out, pe, valid, gh, gw, (h, w)
+        cached = (jnp.asarray(pe), jnp.asarray(valid))
+        pe_cache[key] = cached
+    pe, valid = cached
+    return pe, valid, gh, gw
 
 
 class Evaluator:
@@ -100,14 +105,18 @@ class Evaluator:
         self.class_buckets = tuple(b for b in class_buckets if b < num_fg) + (num_fg,)
         self._scale1_cache: dict = {}
         self.scale2 = make_eval_scale2(cfg, policy) if msc else None
-        self.combine = make_eval_combine(cfg, msc=msc)
-        self.msc_logits = make_msc_logits(cfg, msc=msc)
+        self.combine = make_eval_combine(cfg, msc=msc, prep=prep)
+        self.msc_logits = make_msc_logits(cfg, msc=msc, prep=prep)
         self._pe_cache: dict = {}
+        self._img_buf1 = None
+        self._img_buf2 = None
+        self._lab_buf = None
 
     def scale1_for(self, mc: int):
         if mc not in self._scale1_cache:
             self._scale1_cache[mc] = make_eval_scale1(
-                self.cfg, self.policy, with_cam=self.with_cam, max_classes=mc)
+                self.cfg, self.policy, with_cam=self.with_cam, max_classes=mc,
+                prep=self.prep)
         return self._scale1_cache[mc]
 
     def class_compaction(self, presents: np.ndarray):
@@ -117,15 +126,23 @@ class Evaluator:
         return compact_classes(presents, mc)
 
     # -- host batch assembly -------------------------------------------------
-    def build_batch(self, examples) -> Tuple[ScaleBatch, ScaleBatch, EvalOps,
-                                             jax.Array, jax.Array]:
+    def build_batch(self, examples):
         cfg, prep = self.cfg, self.prep
         patch = cfg.clip.patch_size
         rl = prep.resize_long
         s2 = cfg.eval.scales[1] if len(cfg.eval.scales) > 1 else 0.75
 
-        cols1, cols2, ops_rows, labels, presents = [], [], [], [], []
-        for ex in examples:
+        b = len(examples)
+        if self._img_buf1 is None or self._img_buf1.shape[0] != b:
+            self._img_buf1 = np.zeros((b, 3, prep.canvas_in1, prep.canvas_in1),
+                                      np.float32)
+            self._img_buf2 = np.zeros((b, 3, prep.canvas_in2, prep.canvas_in2),
+                                      np.float32)
+            self._lab_buf = np.zeros((b, prep.canvas_out, prep.canvas_out),
+                                     np.uint8)
+
+        cols1, cols2, size_rows, presents = [], [], [], []
+        for j, ex in enumerate(examples):
             img = ex["img"]
             oh, ow = img.shape[1:]
             if rl:
@@ -134,44 +151,36 @@ class Evaluator:
             else:
                 h1, w1 = oh, ow
             cols1.append(_scale_example(img, (h1, w1), prep.canvas_in1,
-                                        patch, self.pe_table, self._pe_cache))
+                                        patch, self.pe_table, self._pe_cache,
+                                        self._img_buf1[j]))
             if self.msc:
                 h2, w2 = int(h1 * s2), int(w1 * s2)
                 cols2.append(_scale_example(img, (h2, w2), prep.canvas_in2,
                                             patch, self.pe_table,
-                                            self._pe_cache))
+                                            self._pe_cache, self._img_buf2[j]))
             else:
                 h2 = w2 = patch
-            gh1, gw1 = h1 // patch, w1 // patch
-            gh2, gw2 = max(h2 // patch, 1), max(w2 // patch, 1)
-            co, g1, g2 = prep.canvas_out, prep.grid1, prep.grid2
-            ops_rows.append((
-                clamp_resize_matrix(gh1, oh, co, g1),
-                clamp_resize_matrix(gw1, ow, co, g1),
-                clamp_resize_matrix(h1, oh, co, prep.canvas_in1, True),
-                clamp_resize_matrix(w1, ow, co, prep.canvas_in1, True),
-                clamp_resize_matrix(gh2, gh1, g1, g2),
-                clamp_resize_matrix(gw2, gw1, g1, g2),
-            ))
-            lab = np.full((co, co), 255, np.int32)
-            lab[:oh, :ow] = ex["label"]
-            labels.append(lab)
+            size_rows.append((oh, ow, h1, w1, h2, w2))
+            self._lab_buf[j] = 255
+            self._lab_buf[j, :oh, :ow] = np.asarray(ex["label"], np.uint8)
             presents.append(ex["present_mask"])
 
-        def stack_scale(cols):
-            img, pe, valid, gh, gw, _ = zip(*cols)
-            return ScaleBatch(jnp.asarray(np.stack(img)),
-                              jnp.asarray(np.stack(pe)),
-                              jnp.asarray(np.stack(valid)),
+        def stack_scale(cols, img_buf):
+            pe, valid, gh, gw = zip(*cols)
+            # pe/valid are cached device arrays: stack on device (no host copy)
+            return ScaleBatch(jnp.asarray(img_buf),
+                              jnp.stack(pe),
+                              jnp.stack(valid),
                               jnp.asarray(np.asarray(gh, np.int32)),
                               jnp.asarray(np.asarray(gw, np.int32)))
 
-        sb1 = stack_scale(cols1)
-        sb2 = stack_scale(cols2) if self.msc else sb1
-        ops = EvalOps(*(jnp.asarray(np.stack(c)) for c in zip(*ops_rows)))
+        sb1 = stack_scale(cols1, self._img_buf1)
+        sb2 = stack_scale(cols2, self._img_buf2) if self.msc else sb1
+        size_cols = np.ascontiguousarray(np.asarray(size_rows, np.int32).T)
+        sizes = EvalSizes(*(jnp.asarray(c) for c in size_cols))
         presents = np.stack(presents)
         cls_idx, cls_active = self.class_compaction(presents)
-        return (sb1, sb2, ops, jnp.asarray(np.stack(labels)),
+        return (sb1, sb2, sizes, jnp.asarray(self._lab_buf),
                 jnp.asarray(presents), jnp.asarray(cls_idx),
                 jnp.asarray(cls_active))
 
@@ -215,16 +224,16 @@ class Evaluator:
             examples, n_real, built = pending.result()
             if i + 1 < len(starts):
                 pending = pool.submit(prepare, starts[i + 1])
-            sb1, sb2, ops, labels, presents, cls_idx, cls_active = built
+            sb1, sb2, sizes, labels, presents, cls_idx, cls_active = built
             scale1 = self.scale1_for(cls_idx.shape[1])
             seg_single, seg_avg1, cam_labels = scale1(
-                params, frozen, sb1, presents, ops, cls_idx, cls_active)
+                params, frozen, sb1, presents, sizes, cls_idx, cls_active)
             if self.msc:
                 seg_avg2 = self.scale2(params, frozen, sb2, presents)
             else:
                 seg_avg2 = seg_avg1
             _, pred_msc, hists = self.combine(seg_single, seg_avg1, seg_avg2,
-                                              cam_labels, labels, ops, hists)
+                                              cam_labels, labels, sizes, hists)
 
             if save_dir is not None:
                 import os
@@ -246,7 +255,7 @@ class Evaluator:
             if post is not None:
                 # reference crf_proc: msc logits -> softmax -> dense CRF
                 # (test_msc_flip_voc.py:140-158)
-                logits = np.asarray(self.msc_logits(seg_avg1, seg_avg2, ops))
+                logits = np.asarray(self.msc_logits(seg_avg1, seg_avg2, sizes))
                 for j in range(n_real):
                     ex = examples[j]
                     oh, ow = ex["label"].shape
