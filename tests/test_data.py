@@ -1,0 +1,58 @@
+"""Data pipeline: the class-set quirk, crop geometry, normalization."""
+
+import numpy as np
+
+from weclip_tpu.data import transforms
+from weclip_tpu.data.voc import class_set_from_label
+
+
+def test_class_set_quirk():
+    """unique(label)-1 keeps -1 for background, wrapping to the LAST fg
+    class; 255 (ignore) maps to 254 and is dropped (clip_tool.py:111-124)."""
+    label = np.zeros((8, 8), np.uint8)
+    label[0, 0] = 3          # class id 3 -> fg index 2
+    label[1, 1] = 255        # ignore
+    mask = class_set_from_label(label, num_fg=20)
+    assert mask[2]                       # class 3 present
+    assert mask[19]                      # bg wrap-around quirk
+    assert mask.sum() == 2
+
+    # no background pixels: no quirk class
+    label = np.full((4, 4), 5, np.uint8)
+    mask = class_set_from_label(label, num_fg=20)
+    assert mask[4] and mask.sum() == 1
+
+
+def test_normalize_img_imagenet_stats():
+    img = np.full((4, 4, 3), 123.675, np.float32)
+    out = transforms.normalize_img(img)
+    np.testing.assert_allclose(out[..., 0], 0.0, atol=1e-5)
+    img2 = np.zeros((2, 2, 3), np.float32)
+    out2 = transforms.normalize_img(img2)
+    np.testing.assert_allclose(out2[..., 1], -116.28 / 57.12, rtol=1e-5)
+
+
+def test_random_crop_geometry(rng):
+    img = rng.standard_normal((100, 150, 3)).astype(np.float32)
+    out, box = transforms.random_crop(img, 320)
+    assert out.shape == (320, 320, 3)
+    h0, h1, w0, w1 = box
+    assert 0 <= h0 < h1 <= 320 and 0 <= w0 < w1 <= 320
+    assert (h1 - h0) == 100 and (w1 - w0) == 150   # valid region size kept
+    # outside the valid box the crop is zero padding
+    assert np.all(out[:h0] == 0) and np.all(out[h1:] == 0)
+
+    lab = rng.integers(0, 5, (100, 150)).astype(np.float32)
+    out, lab_c, box = transforms.random_crop(img, 320, lab)
+    assert lab_c.shape == (320, 320)
+    h0, h1, w0, w1 = box
+    assert np.all(lab_c[:h0] == 255) and np.all(lab_c[h1:] == 255)
+
+
+def test_rescale_label_nearest(rng):
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.float32)
+    lab = rng.integers(0, 21, (40, 60)).astype(np.uint8)
+    img2, lab2 = transforms.rescale(img, 0.5, lab)
+    assert img2.shape == (20, 30, 3)
+    assert lab2.shape == (20, 30)
+    assert set(np.unique(lab2)) <= set(np.unique(lab))   # nearest: no new ids
