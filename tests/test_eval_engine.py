@@ -74,7 +74,7 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
         return feats, attn_pred, seg[0], seg_avg, (gh, gw), batch
 
     params_visual = frozen["visual"]
-    # hmm: build_pos_emb reads pretrained table from visual params
+
     feats, attn_pred, seg_single, seg_avg1, (gh1, gw1), batch = forward(
         jnp.asarray(cv2_resize(img, h1, w1)))
 

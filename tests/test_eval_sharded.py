@@ -1,0 +1,45 @@
+"""msc-flip evaluation sharded over the 8-device CPU mesh must produce
+exactly the same scores as the unsharded run."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from tests import tiny
+from tests.test_eval_engine import FakeDataset
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import ParConfig
+from weclip_tpu.evalx.runner import Evaluator, make_prep
+from weclip_tpu.models import weclip
+from weclip_tpu.parallel import mesh as meshlib
+
+
+def test_sharded_eval_matches_single():
+    assert jax.device_count() >= 8
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(cfg, par=ParConfig(dilations=(1, 2), num_iter=2),
+                              eval=dataclasses.replace(cfg.eval, batch_images=8))
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    params = weclip.init_trainable_params(jax.random.PRNGKey(5), cfg)
+
+    sizes = [(40, 64), (64, 56), (48, 48), (64, 64)] * 2
+    ds = FakeDataset(cfg, sizes)
+    prep = make_prep(cfg, max_ori=64, resize_long=64)
+    pe = np.asarray(clip_params["visual"]["positional_embedding"])
+
+    ev_single = Evaluator(cfg, prep, pe, policy=precision.FP32)
+    scores_single = ev_single.run(params, frozen, ds)
+
+    mesh = meshlib.make_mesh(data_parallel=8)
+    frozen_r = meshlib.replicate(mesh, frozen)
+    params_r = meshlib.replicate(mesh, params)
+    ev_sharded = Evaluator(cfg, prep, pe, policy=precision.FP32, mesh=mesh)
+    scores_sharded = ev_sharded.run(params_r, frozen_r, ds)
+
+    for k in ("seg", "msc_seg", "cam"):
+        np.testing.assert_allclose(scores_sharded[k]["miou"],
+                                   scores_single[k]["miou"], rtol=1e-6,
+                                   err_msg=k)
+        np.testing.assert_allclose(scores_sharded[k]["pAcc"],
+                                   scores_single[k]["pAcc"], rtol=1e-6)

@@ -67,6 +67,9 @@ def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
     p.add_argument("--save_preds", action="store_true",
                    help="write per-image prediction PNGs (+ colormap) like "
                         "the reference's prediction/ and prediction_cmap/ dirs")
+    p.add_argument("--save_logits", action="store_true",
+                   help="dump per-image {segs, msc_segs} npys like "
+                        "test_msc_flip_voc.py:111")
     return p
 
 

@@ -53,7 +53,8 @@ def run_eval(cfg, args, dataset_name: str):
                    with_cam=(dataset_name == "voc"), msc=True)
     scores = ev.run(params, frozen, ds, max_images=args.max_images,
                     progress=True, crf=args.crf,
-                    save_dir=args.work_dir if args.save_preds else None)
+                    save_dir=args.work_dir if args.save_preds else None,
+                    logits_dir=args.work_dir if args.save_logits else None)
     log.info("cams score:\n%s", scores["cam"])
     log.info("segs score:\n%s", scores["seg"])
     log.info("msc segs score:\n%s", scores["msc_seg"])

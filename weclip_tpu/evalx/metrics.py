@@ -46,3 +46,19 @@ def scores(hist: np.ndarray) -> Dict[str, object]:
 
 def zero_hist(num_classes: int) -> jax.Array:
     return jnp.zeros((num_classes, num_classes), jnp.float32)
+
+
+def pseudo_scores(label_trues, label_preds, num_classes: int = 21):
+    """Pseudo-label scoring that ignores predicted-255 pixels
+    (utils/evaluate.py:38-59: gt[pred==255]=255, pred[pred==255]=0)."""
+    hist = np.zeros((num_classes, num_classes), np.float64)
+    for lt, lp in zip(label_trues, label_preds):
+        lt = np.array(lt).flatten()
+        lp = np.array(lp).flatten()
+        lt[lp == 255] = 255
+        lp = np.where(lp == 255, 0, lp)
+        m = (lt >= 0) & (lt < num_classes)
+        hist += np.bincount(num_classes * lt[m].astype(np.int64) + lp[m],
+                            minlength=num_classes ** 2
+                            ).reshape(num_classes, num_classes)
+    return scores(hist)

@@ -16,7 +16,7 @@ histograms are unaffected.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import cv2
 import jax
@@ -94,9 +94,15 @@ class Evaluator:
     def __init__(self, cfg: Config, prep: EvalPrep, pe_table: np.ndarray,
                  policy: precision.Policy = precision.DEFAULT,
                  with_cam: bool = True, msc: bool = True,
-                 class_buckets: Tuple[int, ...] = (4, 8)):
+                 class_buckets: Tuple[int, ...] = (4, 8),
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — batches shard over its data
+        axis so msc-flip TTA scales across chips (the reference loops images
+        on one GPU; here cfg.eval.batch_images should be a multiple of the
+        data-parallel size)."""
         self.cfg = cfg
         self.prep = prep
+        self.mesh = mesh
         self.pe_table = np.asarray(pe_table, np.float32)
         self.with_cam = with_cam
         self.msc = msc
@@ -180,16 +186,26 @@ class Evaluator:
         sizes = EvalSizes(*(jnp.asarray(c) for c in size_cols))
         presents = np.stack(presents)
         cls_idx, cls_active = self.class_compaction(presents)
-        return (sb1, sb2, sizes, jnp.asarray(self._lab_buf),
-                jnp.asarray(presents), jnp.asarray(cls_idx),
-                jnp.asarray(cls_active))
+        out = (sb1, sb2, sizes, jnp.asarray(self._lab_buf),
+               jnp.asarray(presents), jnp.asarray(cls_idx),
+               jnp.asarray(cls_active))
+        if self.mesh is not None:
+            from weclip_tpu.parallel import mesh as meshlib
+
+            def shard(x):
+                return jax.device_put(
+                    x, meshlib.batch_sharding(self.mesh, np.ndim(x)))
+
+            out = jax.tree_util.tree_map(shard, out)
+        return out
 
     # -- dataset loop ---------------------------------------------------------
     def run(self, params, frozen, dataset,
             max_images: Optional[int] = None,
             progress: bool = False,
             crf: bool = False,
-            save_dir: Optional[str] = None) -> Dict[str, Dict]:
+            save_dir: Optional[str] = None,
+            logits_dir: Optional[str] = None) -> Dict[str, Dict]:
         cfg = self.cfg
         k = cfg.dataset.num_classes
         hists = (metrics.zero_hist(k), metrics.zero_hist(k), metrics.zero_hist(k))
@@ -251,6 +267,21 @@ class Evaluator:
                     save_prediction(os.path.join(save_dir, "prediction_cmap",
                                                  str(ex["name"]) + ".png"),
                                     pm[j, :oh, :ow], cmap=True)
+
+            if logits_dir is not None:
+                # per-image logit dumps (test_msc_flip_voc.py:111 saves
+                # {"segs", "msc_segs"} npys that crf_proc re-reads)
+                import os
+                os.makedirs(os.path.join(logits_dir, "logit"), exist_ok=True)
+                lg = np.asarray(self.msc_logits(seg_avg1, seg_avg2, sizes))
+                sg = np.asarray(seg_single)
+                for j in range(n_real):
+                    ex = examples[j]
+                    oh, ow = ex["label"].shape
+                    np.save(os.path.join(logits_dir, "logit",
+                                         str(ex["name"]) + ".npy"),
+                            {"segs": sg[j][None],
+                             "msc_segs": lg[j, :, :oh, :ow][None]})
 
             if post is not None:
                 # reference crf_proc: msc logits -> softmax -> dense CRF
