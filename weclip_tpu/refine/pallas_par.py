@@ -43,19 +43,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, *,
-                 d: int, h: int, w_pad: int, n_k: int):
+def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, band_ref,
+                 last_dy_ref, *, d: int, h: int, w_pad: int, n_k: int):
     k = pl.program_id(1)
     dy = dys_ref[k]
     dx = dxs_ref[k]
 
-    src = masks_ref[...]                                  # (CT, Hp, Wp)
-    hp, wp = src.shape[1], src.shape[2]
     # dynamic shifts as rolls + static aligned slices (Mosaic cannot prove
-    # alignment of dynamic slice offsets; rolls have no such constraint);
-    # rows are cropped before the lane roll to shrink the shuffle volume
-    band = pltpu.roll(src, (-(d + dy)) % hp, 1)[:, 0:h, :]
-    shifted = pltpu.roll(band, (-(_LANE + dx)) % wp, 2)[:, :, 0:w_pad]
+    # alignment of dynamic slice offsets; rolls have no such constraint).
+    # Shifts arrive sorted by dy, and the row-rolled band persists in scratch
+    # across grid steps: 13 distinct row rolls instead of 48.
+    @pl.when((k == 0) | (dy != last_dy_ref[0]))
+    def _():
+        src = masks_ref[...]                              # (CT, Hp, Wp)
+        hp = src.shape[1]
+        band_ref[...] = pltpu.roll(src, (-(d + dy)) % hp, 1)[:, 0:h, :]
+        last_dy_ref[0] = dy
+
+    wp = band_ref.shape[2]
+    shifted = pltpu.roll(band_ref[...], (-(d + dx)) % wp, 2)[:, :, 0:w_pad]
     contrib = shifted * aff_ref[0][None]
 
     @pl.when(k == 0)
@@ -80,8 +86,13 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     b, c, h, w = masks.shape
     assert h % 8 == 0, "pallas PAR needs 8-aligned height"
     d = max(cfg.dilations)
-    shifts = [(dy * dil, dx * dil)
-              for dil in cfg.dilations for (dy, dx) in _OFFSETS]
+    # sorted by dy so the kernel's row-band scratch is reused across steps;
+    # the affinity slabs are permuted to the same order
+    base_shifts = [(dy * dil, dx * dil)
+                   for dil in cfg.dilations for (dy, dx) in _OFFSETS]
+    perm = sorted(range(len(base_shifts)), key=lambda i: base_shifts[i])
+    shifts = [base_shifts[i] for i in perm]
+    aff = aff[:, jnp.asarray(perm, jnp.int32)]
     n_k = len(shifts)
     dys = jnp.asarray([s[0] for s in shifts], jnp.int32)
     dxs = jnp.asarray([s[1] for s in shifts], jnp.int32)
@@ -91,7 +102,8 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
         masks = jnp.pad(masks, [(0, 0), (0, cp - c), (0, 0), (0, 0)])
 
     w_pad = _round_up(w, _LANE)
-    wp = _LANE + w_pad + _LANE
+    # lane dim must stay 128-aligned for Mosaic; halo is d on the left
+    wp = _round_up(2 * d + w_pad, _LANE)
     hp = h + 2 * d
     if aff.shape[-1] != w_pad:
         aff = jnp.pad(aff, [(0, 0), (0, 0), (0, 0), (0, w_pad - w)])
@@ -111,6 +123,10 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
         out_specs=pl.BlockSpec((c_tile, h, w_pad),
                                lambda ci, ki, dys, dxs: (ci, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c_tile, h, wp), jnp.float32),     # row-rolled band
+            pltpu.SMEM((1,), jnp.int32),                  # last dy
+        ],
     )
     step = pl.pallas_call(
         functools.partial(_step_kernel, d=d, h=h, w_pad=w_pad, n_k=n_k),
@@ -128,7 +144,7 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
         m0, aff_i = args
 
         def one_iter(m, _):
-            m_pad = jnp.pad(m, [(0, 0), (d, d), (_LANE, wp - _LANE - w)],
+            m_pad = jnp.pad(m, [(0, 0), (d, d), (d, wp - d - w)],
                             mode="edge")
             return step(dys, dxs, m_pad, aff_i)[:, :, :w], None
 
