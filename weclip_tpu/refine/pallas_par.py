@@ -75,7 +75,7 @@ def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, band_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "c_tile", "interpret"))
 def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
-                      c_tile: int = 4, interpret: bool = False) -> jax.Array:
+                      c_tile: int = 3, interpret: bool = False) -> jax.Array:
     """Drop-in replacement for refine.par.par_refine (same semantics)."""
     hm, wm = masks.shape[-2], masks.shape[-1]
     if imgs.shape[-2:] != (hm, wm):
