@@ -19,6 +19,14 @@ import jax  # noqa: E402
 # overrides JAX_PLATFORMS; re-force CPU before any backend initializes
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite compiles several large programs
+# and this host has one core — cache them across runs
+try:
+    from weclip_tpu.core.runtime import enable_compilation_cache
+    enable_compilation_cache(os.path.expanduser("~/.cache/weclip_test_xla"))
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,65 @@
+"""Checkpoint/resume: a run interrupted and restored must continue exactly
+like an uninterrupted one (the reference cannot resume at all — SURVEY §5.3:
+'a crash loses the run')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests import tiny
+from weclip_tpu.core import precision
+from weclip_tpu.train import checkpoint
+from weclip_tpu.train import step as step_mod
+
+
+def _step(step_fn, state, frozen, batch, rng):
+    return step_fn(state, frozen, batch, rng, None, None)
+
+
+def test_resume_is_exact(tmp_path):
+    cfg = tiny.tiny_config()
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = tiny.tiny_batch(cfg, clip_params)
+    rng = jax.random.PRNGKey(3)
+
+    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+
+    # uninterrupted: 4 steps
+    s = state
+    for _ in range(4):
+        s, _ = _step(step_fn, s, frozen, batch, rng)
+    final_params = jax.tree_util.tree_map(np.asarray, s.params)
+
+    # interrupted: 2 steps, save, restore, 2 more steps
+    s2, _ = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    for _ in range(2):
+        s2, _ = _step(step_fn, s2, frozen, batch, rng)
+    ckpt_dir = str(tmp_path / "ckpt")
+    checkpoint.save(ckpt_dir, int(s2.step), s2.params, s2.opt_state)
+
+    s3_tmpl, _ = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    params, opt_state, step0 = checkpoint.restore(
+        ckpt_dir, template={"params": s3_tmpl.params,
+                            "opt_state": s3_tmpl.opt_state,
+                            "step": np.asarray(0)})
+    assert step0 == 2
+    s3 = step_mod.TrainState(params, opt_state, jnp.asarray(step0, jnp.int32))
+    for _ in range(2):
+        s3, _ = _step(step_fn, s3, frozen, batch, rng)
+
+    resumed = jax.tree_util.tree_map(np.asarray, s3.params)
+    for a, b in zip(jax.tree_util.tree_leaves(final_params),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_latest_step(tmp_path):
+    d = str(tmp_path / "c")
+    assert checkpoint.latest_step(d) is None
+    checkpoint.save(d, 100, {"w": np.ones(3)})
+    checkpoint.save(d, 200, {"w": np.zeros(3)})
+    assert checkpoint.latest_step(d) == 200
+    params, opt, step = checkpoint.restore(d)
+    assert step == 200
+    np.testing.assert_array_equal(np.asarray(params["w"]), np.zeros(3))

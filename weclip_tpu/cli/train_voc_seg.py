@@ -53,7 +53,10 @@ def main():
     frozen = meshlib.replicate(mesh, frozen)
 
     ds = VOCSegTrainDataset(cfg.dataset, cfg.train.split)
-    loader = PrefetchLoader(ds, cfg.train.samples_per_gpu, seed=cfg.train.seed)
+    # samples_per_gpu is per-chip; global batch scales with the data mesh
+    n_data = mesh.shape[mesh.axis_names[0]]
+    b = cfg.train.samples_per_gpu * n_data
+    loader = PrefetchLoader(ds, b, seed=cfg.train.seed)
     state, tx = create_seg_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     step_fn = make_seg_train_step(cfg, tx, policy)
 
@@ -61,7 +64,6 @@ def main():
     pos_emb = meshlib.replicate(
         mesh, np.asarray(vit.build_pos_emb(clip_params["visual"], grid, grid))[None])
     l = grid * grid + 1
-    b = cfg.train.samples_per_gpu
     valid = jax.device_put(jnp.ones((b, l), bool), meshlib.batch_sharding(mesh, 2))
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
