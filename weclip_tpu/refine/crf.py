@@ -76,6 +76,28 @@ def permutohedral_filter(features: np.ndarray, values: np.ndarray) -> np.ndarray
     return out
 
 
+def crf_inference(img: np.ndarray, probs: np.ndarray, t: int = 10,
+                  scale_factor: float = 1.0, labels: int = 21) -> np.ndarray:
+    """Functional wrapper (utils/dcrf.py crf_inference surface): image (H,W,3)
+    uint8 + (C,H,W) probabilities -> refined probabilities."""
+    crf = DenseCRF(iter_max=t, pos_xy_std=3 / scale_factor, pos_w=3,
+                   bi_xy_std=64 / scale_factor, bi_rgb_std=5, bi_w=4)
+    return crf(img, probs[:labels])
+
+
+def crf_inference_label(img: np.ndarray, labels_map: np.ndarray, t: int = 10,
+                        n_labels: int = 21, gt_prob: float = 0.7) -> np.ndarray:
+    """Hard-label unary variant (utils/dcrf.py crf_inference_label surface):
+    seed the unary from a label map with confidence gt_prob, return argmax."""
+    h, w = labels_map.shape
+    probs = np.full((n_labels, h, w), (1.0 - gt_prob) / (n_labels - 1),
+                    np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    probs[labels_map.reshape(-1), ys.reshape(-1), xs.reshape(-1)] = gt_prob
+    out = crf_inference(img, probs, t=t, labels=n_labels)
+    return out.argmax(0).astype(labels_map.dtype)
+
+
 # ---------------------------------------------------------------------------
 # JAX on-device mean field
 # ---------------------------------------------------------------------------
