@@ -48,6 +48,8 @@ def train_parser(default_config: str | None = None) -> argparse.ArgumentParser:
     p.add_argument("--max_iters", default=None, type=int)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--precision", default=None, choices=["bfloat16", "float32"])
+    p.add_argument("--profile", default=None, type=str, metavar="START:END",
+                   help="capture a jax.profiler trace between these steps")
     return p
 
 

@@ -20,7 +20,10 @@ def main():
         val = VOCSegDataset(cfg.dataset, split="train", stage="train")
     except (FileNotFoundError, OSError):
         pass
-    train(cfg, resume=args.resume, val_dataset=val)
+    profile_steps = (tuple(int(x) for x in args.profile.split(":"))
+                     if args.profile else None)
+    train(cfg, resume=args.resume, val_dataset=val,
+          profile_steps=profile_steps)
 
 
 if __name__ == "__main__":
