@@ -72,11 +72,19 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, frozen, batch: weclip.Batch,
-                   rng: jax.Array, cls_idx=None, cls_active=None
+                   rng: jax.Array, cls_idx=None, cls_active=None,
+                   extra_iter_num: jax.Array = None
                    ) -> Tuple[TrainState, StepMetrics]:
-        # reference increments iter_num at the top of forward and compares
-        # iter_num > 15000 (model_attn_aff_voc.py:111,146)
-        require_seg_trans = (state.step + 1) > cfg.train.seg_trans_start_iter
+        # The reference increments iter_num at the top of EVERY forward and
+        # compares iter_num > 15000 (model_attn_aff_voc.py:111,146).  That
+        # counter also advances during mid-training validation (validate()
+        # calls the same forward once per val image, dist_clip_voc.py:71-102),
+        # so the gate fires earlier than train-iter 15000 in the reference's
+        # actual runs; ``extra_iter_num`` carries that validation-call count
+        # for exact accounting (the trainer supplies it).
+        extra = (jnp.zeros((), jnp.int32) if extra_iter_num is None
+                 else extra_iter_num)
+        require_seg_trans = (state.step + 1 + extra) > cfg.train.seg_trans_start_iter
         dropout_rng = jax.random.fold_in(rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, frozen, batch, require_seg_trans, dropout_rng,

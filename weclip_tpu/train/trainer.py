@@ -135,6 +135,12 @@ def train(cfg: Config, resume: bool = False,
 
     it = iter(loader)
     start_step = int(state.step)
+    # reference iter_num accounting: validation forwards advance the same
+    # counter that gates seg_trans (see train_step docstring); batch-1 val
+    # means one forward per val image upstream
+    val_forward_calls = 0
+    if resume and start_step > 0 and val_dataset is not None:
+        val_forward_calls = (start_step // cfg.train.eval_iters) * len(val_dataset)
     for n_iter in range(start_step, total):
         if profile_steps and n_iter == profile_steps[0]:
             jax.profiler.start_trace(os.path.join(cfg.work_dir.dir, "profile"))
@@ -147,7 +153,8 @@ def train(cfg: Config, resume: bool = False,
                                                       cfg.dataset.num_classes - 1))
         ci, ca = compact_classes(host_batch["present_mask"], mc)
         dev_c = meshlib.shard_batch(mesh, {"ci": ci, "ca": ca})
-        state, m = step_fn(state, frozen, batch, rng, dev_c["ci"], dev_c["ca"])
+        state, m = step_fn(state, frozen, batch, rng, dev_c["ci"], dev_c["ca"],
+                           jnp.asarray(val_forward_calls, jnp.int32))
         losses.append(m)
         if profile_steps and n_iter == profile_steps[1]:
             jax.block_until_ready(m.loss)
@@ -181,6 +188,7 @@ def train(cfg: Config, resume: bool = False,
                                   val_dataset, policy)
                 log.info("val seg: %s", scores["seg"])
                 log.info("val cam: %s", scores["cam"])
+                val_forward_calls += len(val_dataset)
 
     loader.close()
     log.info("training done in %s",
