@@ -107,9 +107,10 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
                               oh, ow, align_corners=True)
     cam_label = jnp.argmax(par_refine(img_ori, stack, cfg.par), axis=1)[0]
 
-    # scale 0.75
+    # scale 0.75 — derived from the scale-1-resized image like the reference
     h2, w2 = int(h1 * scales[1]), int(w1 * scales[1])
-    _, _, _, seg_avg2, (gh2, gw2), _ = forward(jnp.asarray(cv2_resize(img, h2, w2)))
+    img1 = cv2_resize(img, h1, w1)
+    _, _, _, seg_avg2, (gh2, gw2), _ = forward(jnp.asarray(cv2_resize(img1, h2, w2)))
     seg2_on1 = resize_bilinear(seg_avg2, gh1, gw1)
     msc = (seg_avg1 + seg2_on1) / 2.0
 

@@ -149,6 +149,10 @@ class PrecisionConfig:
     compute_dtype: str = "bfloat16"        # "bfloat16" | "float32"
     param_dtype: str = "float32"
     softmax_dtype: str = "float32"
+    # the reference keeps the trainable heads in fp32 (only the CLIP encoder
+    # is fp16): SegFormerHead casts inputs with x.float()
+    # (segformer_head.py:74) and the decoder modules are never converted
+    head_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

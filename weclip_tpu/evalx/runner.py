@@ -59,7 +59,8 @@ def make_prep(cfg: Config, max_ori: int, resize_long: Optional[int]) -> EvalPrep
 
 def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
                    canvas: int, patch: int, pe_table: np.ndarray,
-                   pe_cache: dict, img_out: np.ndarray):
+                   pe_cache: dict, img_out: np.ndarray,
+                   return_resized: bool = False):
     """Resize-and-pad one (3,H,W) float image into the preallocated batch
     slot ``img_out`` (host memcpy is expensive on small hosts — one write,
     no stacking copies); returns (pe_dev, valid_dev, gh, gw).
@@ -71,6 +72,7 @@ def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
     if (h, w) != img_chw.shape[1:]:
         img_chw = cv2.resize(img_chw.transpose(1, 2, 0), (w, h),
                              interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
+    resized = img_chw
     gh, gw = h // patch, w // patch
     g = canvas // patch
     img_out[:] = 0.0
@@ -87,6 +89,8 @@ def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
         cached = (jnp.asarray(pe), jnp.asarray(valid))
         pe_cache[key] = cached
     pe, valid = cached
+    if return_resized:
+        return (pe, valid, gh, gw), resized
     return pe, valid, gh, gw
 
 
@@ -156,12 +160,17 @@ class Evaluator:
                 h1, w1 = int(oh * ratio), int(ow * ratio)
             else:
                 h1, w1 = oh, ow
-            cols1.append(_scale_example(img, (h1, w1), prep.canvas_in1,
+            col1, img1 = _scale_example(img, (h1, w1), prep.canvas_in1,
                                         patch, self.pe_table, self._pe_cache,
-                                        self._img_buf1[j]))
+                                        self._img_buf1[j],
+                                        return_resized=True)
+            cols1.append(col1)
             if self.msc:
+                # the reference derives the 0.75-scale input from the
+                # already-resized scale-1 tensor, not the original
+                # (test_msc_flip_voc.py:81: F.interpolate(inputs, 0.75))
                 h2, w2 = int(h1 * s2), int(w1 * s2)
-                cols2.append(_scale_example(img, (h2, w2), prep.canvas_in2,
+                cols2.append(_scale_example(img1, (h2, w2), prep.canvas_in2,
                                             patch, self.pe_table,
                                             self._pe_cache, self._img_buf2[j]))
             else:

@@ -73,23 +73,30 @@ def backbone_and_heads(
     layer_tokens = feats.layer_tokens[:, :, 1:, :]            # CLS dropped
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
 
+    # trainable heads run at their own (default fp32) precision — the
+    # reference never converts them to fp16 (see PrecisionConfig.head_dtype)
+    head_policy = precision.make_policy(cfg.precision.head_dtype,
+                                        cfg.precision.param_dtype,
+                                        cfg.precision.softmax_dtype)
+
     if "comer" in params and cfg.comer.enabled:
         # WeCLIP+ViT-CoMer config: the CTI branch's fusion features are added
         # to the SegFormer fusion ahead of the decoder (SURVEY §2.12)
         from weclip_tpu.models.comer import comer_forward
         fused = heads.fuse_forward(params["head"]["fuse"], layer_tokens,
-                                   dropout_rng, policy=policy)
+                                   dropout_rng, policy=head_policy)
         fused = fused + comer_forward(params["comer"], batch.img,
                                       layer_tokens, batch.valid[:, 1:],
-                                      cfg.comer, policy)
+                                      cfg.comer, head_policy)
         seg, dec_attn = heads.decoder_forward(params["head"]["decoder"], fused,
                                               valid_p=batch.valid[:, 1:],
-                                              policy=policy)
+                                              policy=head_policy)
         head_out = heads.HeadOutputs(seg, fused, dec_attn)
     else:
         head_out = heads.head_forward(params["head"], layer_tokens,
                                       dropout_rng=dropout_rng,
-                                      valid_p=batch.valid[:, 1:], policy=policy)
+                                      valid_p=batch.valid[:, 1:],
+                                      policy=head_policy)
     attn_pred = aff.gram_affinity(head_out.fused, valid_p)
     return feats, head_out, attn_pred, valid_p
 

@@ -80,7 +80,9 @@ def sinkhorn_transition(aff: jax.Array, valid_p: jax.Array,
 
     a, _ = jax.lax.scan(norm_round, a, None, length=rounds)
     a = (a + a.T) / 2.0
-    a = jnp.dot(a, a, preferred_element_type=jnp.float32)
+    # full fp32 multiplies: the transition matrix feeds pseudo-label parity
+    a = jnp.dot(a, a, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return jnp.where(vm2, a, 0.0)
 
 
@@ -99,7 +101,7 @@ def random_walk_cams(
         box = scoremap_box_mask(cam_flat.reshape(g0, g1), valid_grid, gh, gw,
                                 bbox_threshold).reshape(-1)
         t = trans_mat * box[None, :]
-        return t @ cam_flat
+        return jnp.dot(t, cam_flat, precision=jax.lax.Precision.HIGHEST)
 
     return jax.vmap(one)(cams)
 
@@ -107,7 +109,9 @@ def random_walk_cams(
 def gram_affinity(fts: jax.Array, valid_p: Optional[jax.Array] = None) -> jax.Array:
     """Learned affinity head: sigmoid(F^T F) over fused features
     (model_attn_aff_voc.py:134-137).  fts: (B, P, C) -> (B, P, P)."""
-    g = jnp.einsum("bpc,bqc->bpq", fts.astype(jnp.float32), fts.astype(jnp.float32))
+    g = jnp.einsum("bpc,bqc->bpq", fts.astype(jnp.float32),
+                   fts.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     g = jax.nn.sigmoid(g)
     if valid_p is not None:
         vm = valid_p[:, :, None] * valid_p[:, None, :]
