@@ -33,7 +33,7 @@ import numpy as np
 
 from weclip_tpu.core import precision
 from weclip_tpu.core.config import ClipConfig
-from weclip_tpu.ops.attention import MhaParams, mha_with_weights
+from weclip_tpu.ops.attention import MhaParams, mha_auto, mha_with_weights
 from weclip_tpu.ops.resize import _linear_matrix, upsample_pos_emb
 
 Params = Dict[str, Any]
@@ -74,18 +74,22 @@ def block_forward(
     valid: Optional[jax.Array] = None,
     attn_bias: Optional[jax.Array] = None,
     policy: precision.Policy = precision.DEFAULT,
+    allow_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pre-LN residual attention block (clip/model.py:191-214).
 
     Returns (x_out, head_mean_attn (B,L,L), ln1_out) — ln1_out is exposed
     because GradCAM hooks the reference at exactly this tensor
     (model_attn_aff_voc.py:84, activations_and_gradients.py:11-37).
+    ``allow_pallas`` selects the fused Pallas attention for gradient-free
+    callers (the frozen backbone).
     """
     a = layer_norm(x, p["ln_1"]["g"], p["ln_1"]["b"])
     mha = MhaParams(p["attn"]["in_w"], p["attn"]["in_b"],
                     p["attn"]["out_w"], p["attn"]["out_b"])
-    attn_out, attn_w = mha_with_weights(a, mha, n_heads, valid=valid,
-                                        attn_bias=attn_bias, policy=policy)
+    attn_out, attn_w = mha_auto(a, mha, n_heads, valid=valid,
+                                attn_bias=attn_bias, policy=policy,
+                                allow_pallas=allow_pallas)
     x = x + attn_out
     x = x + mlp_forward(p["mlp"], layer_norm(x, p["ln_2"]["g"], p["ln_2"]["b"]), policy)
     return x, attn_w, a
@@ -217,8 +221,9 @@ def vision_forward_frozen(
     frozen = jax.tree_util.tree_map(lambda a: a[:n_frozen], blocks)
 
     def body(x, bp):
+        # frozen region: the fused Pallas attention is safe here (no VJP)
         x, attn_w, _ = block_forward(bp, x, cfg.vision_heads, valid=valid,
-                                     policy=policy)
+                                     policy=policy, allow_pallas=True)
         return x, (x, attn_w)
 
     _, (xs, attns) = jax.lax.scan(body, x, frozen)

@@ -99,3 +99,23 @@ def mha_with_weights(
         out = jnp.where(qmask[..., None], out, 0.0)
         attn_mean = jnp.where(qmask[:, :, None], attn_mean, 0.0)
     return out.astype(x.dtype), attn_mean
+
+
+def mha_auto(
+    x: jax.Array,
+    p: MhaParams,
+    n_heads: int,
+    valid: Optional[jax.Array] = None,
+    attn_bias: Optional[jax.Array] = None,
+    policy: precision.Policy = precision.DEFAULT,
+    allow_pallas: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch to the Pallas fused kernel on TPU for gradient-free callers
+    (the kernel defines no VJP), the XLA op otherwise."""
+    if (allow_pallas and attn_bias is None and x.shape[1] >= 256
+            and jax.default_backend() == "tpu"):
+        from weclip_tpu.ops.pallas_attention import mha_with_weights_pallas
+        return mha_with_weights_pallas(x, p, n_heads, valid=valid,
+                                       policy=policy)
+    return mha_with_weights(x, p, n_heads, valid=valid, attn_bias=attn_bias,
+                            policy=policy)
