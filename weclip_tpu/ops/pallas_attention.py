@@ -38,16 +38,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref, *,
-                 n_heads: int, scale: float):
+                 n_heads: int, scale: float, score_dtype=jnp.bfloat16):
     h = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # (TQ, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)                  # (L, Dh)
-    v = v_ref[0, 0].astype(jnp.float32)                  # (L, Dh)
+    # bf16 score inputs with fp32 accumulation — matches the XLA path's
+    # compute policy (the reference's fp16 inputs are comparable) and runs
+    # the MXU at full rate
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(score_dtype)
+    k = k_ref[0, 0].astype(score_dtype)                  # (L, Dh)
+    v = v_ref[0, 0].astype(score_dtype)                  # (L, Dh)
     kmask = mask_ref[0]                                  # (1, L) float {0,1}
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (TQ, L)
+        preferred_element_type=jnp.float32)              # (TQ, L) fp32
     neg = jnp.float32(-1e30)
     scores = jnp.where(kmask > 0, scores, neg)
     smax = jnp.max(scores, axis=-1, keepdims=True)
@@ -58,7 +61,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref, *,
     attn = ex / jnp.maximum(denom, 1e-30)                # (TQ, L) fp32
 
     out_ref[0, 0] = jax.lax.dot_general(
-        attn, v, (((1,), (0,)), ((), ())),
+        attn.astype(score_dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(h == 0)
@@ -74,11 +77,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref, *,
         attn_ref[0] = attn_ref[0] * (1.0 / n_heads)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "q_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "q_tile",
+                                              "interpret", "score_dtype"))
 def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                           kmask: jax.Array, n_heads: int,
                           q_tile: int = 128,
-                          interpret: bool = False
+                          interpret: bool = False,
+                          score_dtype=jnp.bfloat16
                           ) -> Tuple[jax.Array, jax.Array]:
     """q, k, v: (B, H, L, Dh) fp32;  kmask: (B, L) float {0,1}.
 
@@ -101,7 +106,8 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     scale = dh ** -0.5
 
     out, attn = pl.pallas_call(
-        functools.partial(_attn_kernel, n_heads=h, scale=scale),
+        functools.partial(_attn_kernel, n_heads=h, scale=scale,
+                          score_dtype=score_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, q_tile, dh),
@@ -161,7 +167,8 @@ def mha_with_weights_pallas(
              else jnp.ones((b, l), jnp.float32))
     out, attn_mean = attention_core_pallas(heads(q), heads(k), heads(v),
                                            kmask, n_heads,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           score_dtype=policy.compute_dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
                      preferred_element_type=jnp.float32)
