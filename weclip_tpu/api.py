@@ -7,7 +7,6 @@ entry point: load once, then segment images / produce pseudo-labels / CAMs.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional
 
 import numpy as np

@@ -21,7 +21,7 @@ forward; provided for completeness via ``score_cam``.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

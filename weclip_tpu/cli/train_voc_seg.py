@@ -21,7 +21,7 @@ def main():
 
     from weclip_tpu.core import precision
     from weclip_tpu.data.loader import PrefetchLoader
-    from weclip_tpu.data.voc import VOCBase, VOCClsDataset
+    from weclip_tpu.data.voc import VOCBase
     from weclip_tpu.data import transforms
     from weclip_tpu.models import weclip
     from weclip_tpu.models.clip import vit

@@ -23,8 +23,7 @@ and clamp-style operators make PAR's replicate padding exact on the canvas
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

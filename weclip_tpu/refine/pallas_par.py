@@ -25,7 +25,6 @@ read once per channel tile — HBM traffic drops ~10x versus the XLA version.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

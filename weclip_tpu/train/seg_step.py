@@ -13,7 +13,7 @@ labels reproduces the paper's fully-supervised setup (81.6 VOC val mIoU,
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
