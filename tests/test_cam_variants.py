@@ -12,7 +12,7 @@ from weclip_tpu.cam.gradcam import gradcam_single
 from weclip_tpu.core import precision
 
 METHODS = ["grad_cam", "grad_cam_pp", "xgrad_cam", "layer_cam",
-           "eigen_cam", "eigen_grad_cam", "score_cam"]
+           "eigen_cam", "eigen_grad_cam", "score_cam", "ablation_cam"]
 
 
 @pytest.fixture(scope="module")

@@ -134,6 +134,9 @@ def cam_single(method: str, visual_params, logit_scale, x11, text_features,
     if method == "score_cam":
         return score_cam(visual_params, logit_scale, x11, text_features,
                          text_mask, valid, class_idx, cfg, policy)
+    if method == "ablation_cam":
+        return ablation_cam(visual_params, logit_scale, x11, text_features,
+                            text_mask, valid, class_idx, cfg, policy)
     acts, grads, _ = _acts_and_grads(visual_params, logit_scale, x11,
                                      text_features, text_mask, valid,
                                      class_idx, cfg, policy)
@@ -171,5 +174,40 @@ def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
 
     scores = jax.vmap(channel_score)(top)                 # (K, T)
     w = jax.nn.softmax(scores[:, class_idx], axis=0)      # (K, C)
+    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, top])
+    return _finish(cam, valid)
+
+
+def ablation_cam(visual_params, logit_scale, x11, text_features, text_mask,
+                 valid, class_idx, cfg: ClipConfig,
+                 policy: precision.Policy = precision.DEFAULT,
+                 top_channels: int = 32):
+    """AblationCAM (ablation_cam.py): weight = (score - score_with_channel
+    zeroed) / score; channels ranked by activation energy and the top-k
+    ablated (same cost control as score_cam)."""
+    block11 = jax.tree_util.tree_map(lambda a: a[cfg.vision_layers - 1],
+                                     visual_params["blocks"])
+    p = {"ln_post": visual_params["ln_post"], "proj": visual_params["proj"],
+         "logit_scale": logit_scale}
+    a0 = vit.layer_norm(x11, block11["ln_1"]["g"], block11["ln_1"]["b"])
+
+    energy = jnp.sum(jnp.abs(a0[1:]), axis=0)
+    top = jnp.argsort(-energy)[:top_channels]
+
+    def probs_of(a):
+        x_out, _ = vit.block_forward_from_ln1(
+            block11, x11[None], a[None], cfg.vision_heads,
+            valid=valid[None], policy=policy)
+        return _image_text_probs(p, x_out[0], text_features, text_mask,
+                                 valid, policy)
+
+    base = probs_of(a0)                                   # (T,)
+
+    def ablated(d):
+        mask = jnp.ones((a0.shape[1],)).at[d].set(0.0)
+        return probs_of(a0 * mask[None, :])
+
+    abl = jax.vmap(ablated)(top)                          # (K, T)
+    w = ((base[None, :] - abl) / (base[None, :] + 1e-7))[:, class_idx]  # (K,C)
     cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, top])
     return _finish(cam, valid)
