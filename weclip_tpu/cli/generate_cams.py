@@ -32,6 +32,12 @@ def main():
     p.add_argument("--out", default="cams", type=str)
     p.add_argument("--resize_long", default=512, type=int)
     p.add_argument("--max_images", default=None, type=int)
+    p.add_argument("--cam_method", default="grad_cam", type=str,
+                   choices=["grad_cam", "grad_cam_pp", "xgrad_cam",
+                            "layer_cam", "eigen_cam", "eigen_grad_cam",
+                            "score_cam", "ablation_cam"],
+                   help="CAM engine (pytorch_grad_cam method surface; the "
+                        "reference's live path is grad_cam)")
     args = p.parse_args()
     common.setup_logger()
 
@@ -64,22 +70,34 @@ def main():
     from weclip_tpu.evalx.engine import _dev_ops_cam
 
     @jax.jit
-    def cams_for_batch(params_unused, sb, presents, sizes):
+    def cams_for_batch(fz, sb, presents, sizes):
+        # ``fz`` (the frozen CLIP tree) MUST be an argument, not a closure
+        # capture — closure-captured arrays become HLO constants and the
+        # ~340MB program overflows remote-compile request limits.
         g = sb.img.shape[-1] // cfg.clip.patch_size
         batch = weclip_mod.Batch(sb.img, sb.pos_emb, sb.valid, sb.gh, sb.gw,
                                  presents)
         feats = __import__("weclip_tpu.models.clip.vit", fromlist=["vit"]) \
-            .vision_forward_frozen(frozen["visual"], batch.img, batch.pos_emb,
+            .vision_forward_frozen(fz["visual"], batch.img, batch.pos_emb,
                                    batch.valid, cfg.clip,
                                    keep_attn=weclip_mod.keep_attn_layers(cfg),
                                    policy=policy)
-        text = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], 0)
+        text = jnp.concatenate([fz["fg_text"], fz["bg_text"]], 0)
         tmask = jnp.concatenate(
             [presents.astype(bool),
-             jnp.ones((sb.img.shape[0], frozen["bg_text"].shape[0]), bool)], 1)
-        cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
+             jnp.ones((sb.img.shape[0], fz["bg_text"].shape[0]), bool)], 1)
+        cam_out = gradcam_batch(fz["visual"], fz["logit_scale"],
                                 feats.layer_tokens[-1], text, tmask,
                                 sb.valid, num_fg, cfg.clip, policy)
+        if args.cam_method == "grad_cam":
+            cams = cam_out.cams
+        else:
+            from weclip_tpu.cam import variants
+            ci = jnp.arange(num_fg, dtype=jnp.int32)
+            cams = jax.vmap(lambda x, tm, v: variants.cam_single(
+                args.cam_method, fz["visual"], fz["logit_scale"],
+                x, text, tm, v, ci, cfg.clip, policy))(
+                    feats.layer_tokens[-1], tmask, sb.valid)
         fused = aff.fuse_attention_plain(feats.layer_attn, cam_out.attn_last,
                                          cfg.cam.attn_fuse_layers)
 
@@ -89,7 +107,7 @@ def main():
             return aff.random_walk_cams(cams_i, trans, valid_i.reshape(g, g),
                                         gh_i, gw_i, cfg.cam.bbox_threshold)
 
-        refined = jax.vmap(walk_one)(cam_out.cams, fused, sb.valid[:, 1:],
+        refined = jax.vmap(walk_one)(cams, fused, sb.valid[:, 1:],
                                      sb.gh, sb.gw)
         normed = jax.vmap(jax.vmap(
             lambda c, v: _minmax_valid(c, v.astype(bool)),
@@ -110,7 +128,7 @@ def main():
         while len(examples) < bsz:
             examples.append(examples[-1])
         sb1, _, sizes, _, presents, _, _ = ev.build_batch(examples)
-        highres = np.asarray(cams_for_batch(None, sb1, presents, sizes))
+        highres = np.asarray(cams_for_batch(frozen, sb1, presents, sizes))
         for j in range(n_real):
             ex = examples[j]
             oh, ow = ex["label"].shape
