@@ -1,0 +1,75 @@
+"""Tests for the auxiliary utility surface: TB grid renderers
+(utils/imutils.py:26-133), box IoU (clip/utils.py:40-87), VOC XML labels
+(clip/utils.py:89-111 + generate_cams_voc12.py:104-121), poly-warmup SGD
+(utils/optimizer.py:35-65)."""
+
+import numpy as np
+
+from weclip_tpu.utils import imutils
+
+
+def test_make_grid_shape():
+    imgs = np.arange(4 * 3 * 8 * 6, dtype=np.uint8).reshape(4, 3, 8, 6)
+    grid = imutils.make_grid(imgs, nrow=2, padding=2)
+    assert grid.shape == (3, 2 * (8 + 2) + 2, 2 * (6 + 2) + 2)
+    # first tile lands at (2, 2)
+    np.testing.assert_array_equal(grid[:, 2:10, 2:8], imgs[0])
+
+
+def test_tensorboard_image_renders():
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    cam = rng.random((2, 5, 8, 8)).astype(np.float32)
+    g_img, g_cam = imutils.tensorboard_image(imgs, cam)
+    assert g_img.dtype == np.uint8 and g_cam.dtype == np.uint8
+    assert g_img.shape == g_cam.shape and g_img.shape[0] == 3
+
+
+def test_tensorboard_attn_and_label():
+    rng = np.random.default_rng(1)
+    attns = [rng.random((2, 64, 64)).astype(np.float32) for _ in range(3)]
+    grid = imutils.tensorboard_attn(attns, size=(16, 16), n_pix=0.3, n_row=2)
+    assert grid.dtype == np.uint8 and grid.shape[0] == 3
+    grids = imutils.tensorboard_attn2(
+        [rng.random((2, 64, 64)).astype(np.float32) for _ in range(5)],
+        size=(16, 16), with_attn_pred=True)
+    assert len(grids) == 8
+    lab = rng.integers(0, 21, (2, 10, 12))
+    g = imutils.tensorboard_label(lab)
+    assert g.shape[0] == 3 and g.dtype == np.uint8
+
+
+def test_box_iou_reference_values():
+    from weclip_tpu.refine.bbox import box_iou
+    a = np.array([[0, 0, 9, 9]])
+    b = np.array([[0, 0, 9, 9], [5, 5, 14, 14], [20, 20, 21, 21]])
+    got = box_iou(a, b)[0]
+    # inclusive-area convention: inter 5x5=25, union 100+100-25
+    np.testing.assert_allclose(got, [1.0, 25 / 175, 0.0])
+
+
+def test_classes_from_xml(tmp_path):
+    from weclip_tpu.data.voc import classes_from_xml, parse_xml_to_dict
+    import xml.etree.ElementTree as ET
+    xml = ("<annotation><filename>x.jpg</filename>"
+           "<object><name>dog</name></object>"
+           "<object><name>cat</name></object>"
+           "<object><name>notaclass</name></object></annotation>")
+    p = tmp_path / "x.xml"
+    p.write_text(xml)
+    d = parse_xml_to_dict(ET.parse(str(p)).getroot())["annotation"]
+    assert len(d["object"]) == 3 and d["filename"] == "x.jpg"
+    onehot = classes_from_xml(str(p))
+    assert set(np.where(onehot)[0]) == {7, 11}       # cat, dog in VOC order
+
+
+def test_sgd_optimizer_steps():
+    import jax.numpy as jnp
+    from weclip_tpu.core.config import OptimizerConfig
+    from weclip_tpu.train.optimizer import make_sgd_optimizer
+    tx = make_sgd_optimizer(OptimizerConfig(), max_iters=100)
+    params = {"w": jnp.ones((3,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.full((3,), 2.0)}
+    updates, _ = tx.update(grads, opt_state, params)
+    assert float(jnp.abs(updates["w"]).sum()) > 0.0

@@ -129,3 +129,34 @@ class VOCSegDataset(VOCBase):
             "cls_label": np.asarray(self.cls_labels.get(name, 0), np.uint8),
             "present_mask": present,
         }
+
+
+def parse_xml_to_dict(node) -> dict:
+    """Recursive VOC annotation XML -> dict (clip/utils.py:89-111; the
+    tensorflow recursive_parse_xml_to_dict shape: repeated ``object`` tags
+    collect into a list, leaves map tag -> text)."""
+    if len(node) == 0:
+        return {node.tag: node.text}
+    result: dict = {}
+    for child in node:
+        sub = parse_xml_to_dict(child)
+        if child.tag != "object":
+            result[child.tag] = sub[child.tag]
+        else:
+            result.setdefault(child.tag, []).append(sub[child.tag])
+    return {node.tag: result}
+
+
+def classes_from_xml(xml_path: str, num_fg: int = 20) -> np.ndarray:
+    """Image-level one-hot labels from a VOC ``Annotations/*.xml`` file —
+    the label source of the offline CAM generator
+    (clip/generate_cams_voc12.py:104-121)."""
+    import xml.etree.ElementTree as ET
+    from weclip_tpu.models.clip.prompts import CLASS_NAMES_VOC
+    d = parse_xml_to_dict(ET.parse(xml_path).getroot())["annotation"]
+    onehot = np.zeros(num_fg, np.uint8)
+    for obj in d.get("object", []):
+        name = obj.get("name")
+        if name in CLASS_NAMES_VOC:
+            onehot[CLASS_NAMES_VOC.index(name)] = 1
+    return onehot

@@ -97,3 +97,23 @@ def scoremap_box_mask(cam: jax.Array, valid: jax.Array,
              & (xs[None, :] >= xmin[:, None]) & (xs[None, :] < x1[:, None]))
     mask = jnp.any(inbox & exists[:, None], axis=0)
     return mask.reshape(g0, g1).astype(jnp.float32)
+
+
+def box_iou(box_a, box_b):
+    """Pairwise IoU of x0y0x1y1 integer boxes (clip/utils.py:40-87
+    ``calculate_multiple_iou``): inclusive-pixel areas (+1 convention),
+    degenerate pairs scored 0.  Host-side numpy utility."""
+    import numpy as np
+    a = np.asarray(box_a)[:, None, :].astype(np.float64)   # (na, 1, 4)
+    b = np.asarray(box_b)[None, :, :].astype(np.float64)   # (1, nb, 4)
+    ix = np.maximum(0, np.minimum(a[..., 2], b[..., 2])
+                    - np.maximum(a[..., 0], b[..., 0]) + 1)
+    iy = np.maximum(0, np.minimum(a[..., 3], b[..., 3])
+                    - np.maximum(a[..., 1], b[..., 1]) + 1)
+    inter = ix * iy
+    area_a = (a[..., 2] - a[..., 0] + 1) * (a[..., 3] - a[..., 1] + 1)
+    area_b = (b[..., 2] - b[..., 0] + 1) * (b[..., 3] - b[..., 1] + 1)
+    denom = area_a + area_b - inter
+    bad = denom <= 0
+    out = inter / np.where(bad, 1.0, denom)
+    return np.where(bad, 0.0, out)

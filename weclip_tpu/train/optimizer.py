@@ -33,3 +33,15 @@ def make_optimizer(cfg: OptimizerConfig, max_iters: int) -> optax.GradientTransf
         b1=cfg.betas[0], b2=cfg.betas[1], eps=1e-8,
         weight_decay=cfg.weight_decay,
     )
+
+
+def make_sgd_optimizer(cfg: OptimizerConfig, max_iters: int,
+                       momentum: float = 0.9) -> optax.GradientTransformation:
+    """Poly-warmup SGD (utils/optimizer.py:35-65 ``PolyWarmupSGD`` — unused
+    by the reference drivers but part of its optimizer surface)."""
+    base_lr = cfg.learning_rate * cfg.head_lr_mult
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.sgd(learning_rate=poly_warmup_schedule(cfg, max_iters, base_lr),
+                  momentum=momentum),
+    )
