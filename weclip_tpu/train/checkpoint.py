@@ -47,14 +47,19 @@ def restore(base_dir: str, step: Optional[int] = None,
     on-disk subtrees (e.g. opt_state when only params are wanted) are fine.
     """
     import orbax.checkpoint as ocp
-    if step is None:
-        step = latest_step(base_dir)
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints under {base_dir}")
-    path = os.path.abspath(_ckpt_dir(base_dir, step))
-    # a "step_N" path may be passed directly as base_dir
-    if not os.path.isdir(path) and os.path.basename(base_dir).startswith("step_"):
+    # a "step_N" checkpoint directory may be passed directly as base_dir
+    tail = os.path.basename(os.path.normpath(base_dir))
+    if step is None and tail.startswith("step_") and os.path.isdir(base_dir):
         path = os.path.abspath(base_dir)
+        step = int(tail.split("_")[1])
+    else:
+        if step is None:
+            step = latest_step(base_dir)
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {base_dir}")
+        path = os.path.abspath(_ckpt_dir(base_dir, step))
+        if not os.path.isdir(path) and tail.startswith("step_"):
+            path = os.path.abspath(base_dir)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckpt = ckptr.restore(path)
 
