@@ -63,3 +63,14 @@ def test_latest_step(tmp_path):
     params, opt, step = checkpoint.restore(d)
     assert step == 200
     np.testing.assert_array_equal(np.asarray(params["w"]), np.zeros(3))
+
+
+def test_restore_direct_step_path(tmp_path):
+    """A step_N directory passed as base_dir restores that exact step
+    (the eval CLIs receive such paths via --model_path)."""
+    d = str(tmp_path / "ck")
+    checkpoint.save(d, 100, {"w": np.ones(3)})
+    path = checkpoint.save(d, 250, {"w": np.full(3, 5.0)})
+    params, opt, step = checkpoint.restore(path)
+    assert step == 250 and opt is None
+    np.testing.assert_array_equal(np.asarray(params["w"]), np.full(3, 5.0))
