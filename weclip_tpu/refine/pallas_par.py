@@ -72,10 +72,27 @@ def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, band_ref,
         out_ref[...] += contrib
 
 
+def _pick_c_tile(c: int, max_tile: int = 10) -> int:
+    """Pick the channel tile that minimizes (#tiles, padded channels):
+    each extra tile re-streams the whole affinity tensor from HBM, and
+    channel padding is pure wasted roll/MAC work.  max_tile bounds VMEM
+    (blocks + the stack-allocated full output must fit the scoped limit)."""
+    best, best_ct = None, 1
+    for ct in range(1, max_tile + 1):
+        cp = _round_up(c, ct)
+        key = (cp // ct, cp, -ct)
+        if best is None or key < best:
+            best, best_ct = key, ct
+    return best_ct
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "c_tile", "interpret"))
 def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
-                      c_tile: int = 3, interpret: bool = False) -> jax.Array:
+                      c_tile: int | None = None,
+                      interpret: bool = False) -> jax.Array:
     """Drop-in replacement for refine.par.par_refine (same semantics)."""
+    if c_tile is None:
+        c_tile = _pick_c_tile(masks.shape[1])
     hm, wm = masks.shape[-2], masks.shape[-1]
     if imgs.shape[-2:] != (hm, wm):
         imgs = resize_bilinear(imgs.astype(jnp.float32), hm, wm,
@@ -131,6 +148,10 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
         functools.partial(_step_kernel, d=d, h=h, w_pad=w_pad, n_k=n_k),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cp, h, w_pad), jnp.float32),
+        # v5e has 128MB physical VMEM; the default 16MB scoped limit forces
+        # tiny channel tiles (more grid steps + one affinity re-stream per
+        # tile). Raise it so a whole compacted channel set fits in one tile.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )
 
