@@ -28,3 +28,13 @@ def test_pallas_par_full_dilations(rng):
     ours = np.asarray(par_refine_pallas(jnp.asarray(imgs), jnp.asarray(masks),
                                         cfg, c_tile=4, interpret=True))
     np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pick_c_tile():
+    """Tile choice: minimize (#tiles, padded channels), prefer larger tiles."""
+    from weclip_tpu.refine.pallas_par import _pick_c_tile
+    assert _pick_c_tile(5) == 5        # one exact tile
+    assert _pick_c_tile(9) == 9
+    assert _pick_c_tile(21) == 7       # 3 exact tiles beats 3 padded ones
+    assert _pick_c_tile(17) == 9       # 2 tiles, cp=18
+    assert _pick_c_tile(81) == 9       # 9 exact tiles
