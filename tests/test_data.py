@@ -56,3 +56,53 @@ def test_rescale_label_nearest(rng):
     assert img2.shape == (20, 30, 3)
     assert lab2.shape == (20, 30)
     assert set(np.unique(lab2)) <= set(np.unique(lab))   # nearest: no new ids
+
+
+def _write_voc_tree(root, names, with_labels=True):
+    import os
+    from PIL import Image
+    os.makedirs(f"{root}/JPEGImages", exist_ok=True)
+    os.makedirs(f"{root}/SegmentationClassAug", exist_ok=True)
+    os.makedirs(f"{root}/lists", exist_ok=True)
+    r = np.random.default_rng(0)
+    for n in names:
+        Image.fromarray(r.integers(0, 255, (40, 60, 3), dtype=np.uint8)).save(
+            f"{root}/JPEGImages/{n}.jpg")
+        if with_labels:
+            lab = np.zeros((40, 60), np.uint8)
+            lab[5:20, 5:30] = 3
+            Image.fromarray(lab, mode="P").save(
+                f"{root}/SegmentationClassAug/{n}.png")
+    np.save(f"{root}/lists/cls_labels_onehot.npy",
+            {n: np.zeros(20, np.uint8) for n in names})
+
+
+def test_seg_dataset_label_free_test_stage(tmp_path):
+    """stage='test' (label-free VOC test split): all-ignore label + empty
+    class set so metrics stay empty and prediction saving still works
+    (reference datasets/voc.py:64-65 returns a dummy image-channel label
+    but never scores it)."""
+    from weclip_tpu.core.config import DatasetConfig
+    from weclip_tpu.data.voc import VOCSegDataset
+    root = str(tmp_path / "voc")
+    _write_voc_tree(root, ["a", "b"], with_labels=False)
+    (tmp_path / "voc" / "lists" / "test.txt").write_text("a\nb\n")
+    cfg = DatasetConfig(root_dir=root, name_list_dir=f"{root}/lists")
+    ds = VOCSegDataset(cfg, split="test", stage="test")
+    ex = ds[0]
+    assert set(np.unique(ex["label"])) == {255}
+    assert not ex["present_mask"].any()
+
+
+def test_seg_dataset_missing_label_fallback(tmp_path):
+    """read_label falls back to an all-ignore map when the PNG is absent."""
+    from weclip_tpu.core.config import DatasetConfig
+    from weclip_tpu.data.voc import VOCSegDataset
+    root = str(tmp_path / "voc")
+    _write_voc_tree(root, ["a"], with_labels=False)
+    (tmp_path / "voc" / "lists" / "val.txt").write_text("a\n")
+    cfg = DatasetConfig(root_dir=root, name_list_dir=f"{root}/lists")
+    ds = VOCSegDataset(cfg, split="val", stage="val")
+    ex = ds[0]
+    assert set(np.unique(ex["label"])) == {255}
+    assert ex["label"].shape == (40, 60)

@@ -47,8 +47,12 @@ class CocoBase:
         return img[..., :3]
 
     def read_label(self, name: str) -> np.ndarray:
-        return np.asarray(Image.open(
-            os.path.join(self.label_dir, _strip(name, self.split) + ".png")))
+        p = os.path.join(self.label_dir, _strip(name, self.split) + ".png")
+        if os.path.exists(p):
+            return np.asarray(Image.open(p))
+        # label-free split: all-ignore label (see voc.py read_label)
+        img = self.read_image(name)
+        return np.full(img.shape[:2], 255, np.uint8)
 
 
 class CocoClsDataset(CocoBase):

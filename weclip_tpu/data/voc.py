@@ -65,7 +65,15 @@ class VOCBase:
         return img
 
     def read_label(self, name: str) -> np.ndarray:
-        return np.asarray(Image.open(os.path.join(self.label_dir, name + ".png")))
+        p = os.path.join(self.label_dir, name + ".png")
+        if os.path.exists(p):
+            return np.asarray(Image.open(p))
+        # label-free split (VOC test: images only, datasets/voc/test.txt):
+        # an all-ignore label keeps the histograms empty while prediction
+        # saving still works at the original resolution
+        with Image.open(os.path.join(self.img_dir, name + ".jpg")) as im:
+            w, h = im.size
+        return np.full((h, w), 255, np.uint8)
 
 
 class VOCClsDataset(VOCBase):
@@ -114,10 +122,15 @@ class VOCSegDataset(VOCBase):
         name = self.names[idx]
         image = self.read_image(name).astype(np.float32)
         if self.stage == "test":
-            label = image[:, :, 0].astype(np.int32)
+            # the reference returns image[:,:,0] as a dummy test label
+            # (datasets/voc.py:64-65) but never derives class sets or
+            # scores from it; an all-ignore label keeps our always-on
+            # hist/class-set machinery inert while predictions still save
+            label = np.full(image.shape[:2], 255, np.int32)
+            present = np.zeros(self.cfg.num_classes - 1, bool)
         else:
             label = self.read_label(name).astype(np.int32)
-        present = class_set_from_label(label, self.cfg.num_classes - 1)
+            present = class_set_from_label(label, self.cfg.num_classes - 1)
         norm = transforms.normalize_img(
             image, np.asarray(self.cfg.mean, np.float32),
             np.asarray(self.cfg.std, np.float32))
