@@ -333,3 +333,73 @@ def test_evaluate_scores_match_reference(rng, ref):
     np.testing.assert_allclose(ours["miou"], ref_s["miou"], rtol=1e-6)
     np.testing.assert_allclose(ours["pAcc"], ref_s["pAcc"], rtol=1e-6)
     np.testing.assert_allclose(ours["mAcc"], ref_s["mAcc"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("method,ref_cls", [
+    ("grad_cam_pp", "GradCAMPlusPlus"),
+    ("xgrad_cam", "XGradCAM"),
+    ("layer_cam", "LayerCAM"),
+])
+def test_cam_variants_match_reference(ref, method, ref_cls):
+    """Variant CAM engines vs the reference's vendored pytorch_grad_cam
+    classes on the CLIP forward_last_layer head (same harness as the GradCAM
+    golden test)."""
+    torch = ref
+    from clip.model import CLIP
+    import pytorch_grad_cam as pgc
+
+    model = CLIP(embed_dim=32, image_resolution=224, vision_layers=12,
+                 vision_width=128, vision_patch_size=16, context_length=16,
+                 vocab_size=64, transformer_width=64, transformer_heads=1,
+                 transformer_layers=2).float().eval()
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    from weclip_tpu.models.clip.loader import infer_config, params_from_state_dict
+    from weclip_tpu.core.config import ClipConfig
+    cfg = infer_config(sd, ClipConfig())
+    params = params_from_state_dict(sd, cfg)
+
+    gh, gw = 4, 5
+
+    def reshape_transform(tensor, height=gh, width=gw):
+        tensor = tensor.permute(1, 0, 2)
+        result = tensor[:, 1:, :].reshape(tensor.size(0), height, width,
+                                          tensor.size(2))
+        return result.transpose(2, 3).transpose(1, 2)
+
+    cam = getattr(pgc, ref_cls)(
+        model=model,
+        target_layers=[model.visual.transformer.resblocks[-1].ln_1],
+        reshape_transform=reshape_transform)
+
+    rng = np.random.default_rng(11)
+    l = gh * gw + 1
+    x11 = rng.standard_normal((l, 1, 128)).astype(np.float32)
+    text = rng.standard_normal((5, 32)).astype(np.float32)
+
+    class Target:
+        def __init__(self, c):
+            self.c = c
+
+        def __call__(self, out):
+            return out[self.c] if out.ndim == 1 else out[:, self.c]
+
+    ref_cams = []
+    for c in range(3):
+        g, _, _ = cam(input_tensor=[torch.from_numpy(x11),
+                                    torch.from_numpy(text), gh * 16, gw * 16],
+                      targets=[Target(c)], target_size=None)
+        ref_cams.append(g[0])
+    ref_cams = np.stack(ref_cams).reshape(3, -1)
+
+    from weclip_tpu.cam import variants
+    from weclip_tpu.core import precision
+    ours = variants.cam_single(
+        method,
+        jax.tree_util.tree_map(jnp.asarray, params["visual"]),
+        jnp.asarray(params["logit_scale"]),
+        jnp.asarray(x11[:, 0, :]), jnp.asarray(text),
+        jnp.ones((5,), bool), jnp.ones((l,), bool),
+        jnp.arange(3, dtype=jnp.int32), cfg, policy=precision.FP32)
+
+    np.testing.assert_allclose(np.asarray(ours), ref_cams, rtol=5e-2,
+                               atol=5e-3)

@@ -67,14 +67,15 @@ def grad_cam(acts, grads, valid):
 
 
 def grad_cam_pp(acts, grads, valid):
-    """GradCAM++ (grad_cam_plusplus.py): alpha = g^2 / (2 g^2 + sum_p a g^3)."""
+    """GradCAM++ (grad_cam_plusplus.py:20-33): alpha = g^2 / (2 g^2 +
+    (sum_p a) * g^3 + 1e-6), zeroed where g == 0; w = sum_p ReLU(g) * alpha."""
     g = grads[:, 1:]
     a = acts[1:][None]
-    g2, g3 = g * g, g * g * g
-    sum_a = jnp.sum(a * g3, axis=1, keepdims=True)
-    denom = 2.0 * g2 + sum_a
-    alpha = jnp.where(denom != 0.0, g2 / denom, 0.0)
     pm = valid[1:].astype(jnp.float32)[None, :, None]
+    g2, g3 = g * g, g * g * g
+    sum_a = jnp.sum(a * pm, axis=1, keepdims=True)      # (1, 1, D)
+    denom = 2.0 * g2 + sum_a * g3 + 1e-6
+    alpha = jnp.where(g != 0.0, g2 / denom, 0.0)
     w = jnp.sum(alpha * jnp.maximum(g, 0.0) * pm, axis=1)
     return jnp.einsum("cd,pd->cp", w, acts[1:])
 
