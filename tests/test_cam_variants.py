@@ -52,3 +52,25 @@ def test_grad_cam_variant_matches_main_path(setup):
                                 policy=precision.FP32)
     np.testing.assert_allclose(np.asarray(via_variants), np.asarray(main),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_targets_api():
+    """cam/targets.py seed-vector builders (model_targets.py parity)."""
+    import jax.numpy as jnp
+    from weclip_tpu.cam.targets import (ClassifierOutputSoftmaxTarget,
+                                        ClassifierOutputTarget,
+                                        SemanticSegmentationTarget)
+    logits = jnp.asarray([1.0, 3.0, 2.0])
+    t = ClassifierOutputTarget(1)
+    assert float(t(logits)) == 3.0
+    np.testing.assert_array_equal(np.asarray(t.seed(3)), [0.0, 1.0, 0.0])
+    ts = ClassifierOutputSoftmaxTarget(1)
+    assert 0.0 < float(ts(logits)) < 1.0
+    mask = np.zeros((4, 4), np.float32)
+    mask[1:3, 1:3] = 1.0
+    seg = SemanticSegmentationTarget(2, mask)
+    out = jnp.arange(3 * 4 * 4, dtype=jnp.float32).reshape(3, 4, 4)
+    expect = float((np.asarray(out)[2] * mask).sum())
+    assert float(seg(out)) == expect
+    seed = np.asarray(seg.seed_fn((3, 4, 4)))
+    assert seed[2].sum() == 4.0 and seed[[0, 1]].sum() == 0.0
