@@ -38,3 +38,20 @@ def test_pick_c_tile():
     assert _pick_c_tile(21) == 7       # 3 exact tiles beats 3 padded ones
     assert _pick_c_tile(17) == 9       # 2 tiles, cp=18
     assert _pick_c_tile(81) == 9       # 9 exact tiles
+
+
+def test_bf16_speed_mode_close():
+    """Opt-in bf16 PAR: fp32 accumulator, half-width streams; stays close to
+    the fp32 oracle (it is NOT the parity default)."""
+    import jax.numpy as jnp
+    from weclip_tpu.refine.par import par_refine
+    from weclip_tpu.refine.pallas_par import par_refine_pallas
+    cfg = ParConfig(dilations=(1, 2), num_iter=6)
+    r = np.random.default_rng(0)
+    imgs = jnp.asarray(r.standard_normal((1, 3, 64, 64)), jnp.float32)
+    masks = jnp.asarray(r.random((1, 5, 64, 64)), jnp.float32)
+    ref = np.asarray(par_refine(imgs, masks, cfg))
+    b16 = np.asarray(par_refine_pallas(imgs, masks, cfg, interpret=True,
+                                       compute_dtype=jnp.bfloat16))
+    assert np.abs(b16 - ref).max() < 0.05
+    assert (b16.argmax(1) == ref.argmax(1)).mean() > 0.97

@@ -77,11 +77,25 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref, *,
         attn_ref[0] = attn_ref[0] * (1.0 / n_heads)
 
 
+def _pick_q_tile(l: int) -> int:
+    """Pick the query tile minimizing (padded length, -tile): row padding is
+    wasted score/softmax work, and larger tiles amortize the per-grid-step
+    K/V re-fetch (measured differences are small — 6.7-8.7 ms across
+    128..512 at B16/L1025 on v5e — so padding is the tiebreaker)."""
+    best, best_qt = None, 128
+    for qt in (128, 256, 384, 512):
+        lp = _round_up(l, qt)
+        key = (lp, -qt)
+        if best is None or key < best:
+            best, best_qt = key, qt
+    return best_qt
+
+
 @functools.partial(jax.jit, static_argnames=("n_heads", "q_tile",
                                               "interpret", "score_dtype"))
 def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                           kmask: jax.Array, n_heads: int,
-                          q_tile: int = 128,
+                          q_tile: Optional[int] = None,
                           interpret: bool = False,
                           score_dtype=jnp.bfloat16
                           ) -> Tuple[jax.Array, jax.Array]:
@@ -93,6 +107,8 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     consumer multiplies by the validity mask).
     """
     b, h, l, dh = q.shape
+    if q_tile is None:
+        q_tile = _pick_q_tile(l)
     lp = _round_up(l, q_tile)
     if lp != l:
         pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
