@@ -57,3 +57,20 @@ def test_real_vocab_known_tokens():
     assert ids == [320, 1125, 539, 320, 2368], ids
     ids2 = tok.encode("a clean origami aeroplane.")
     assert tok.decode(ids2).strip() == "a clean origami aeroplane ."
+
+
+def test_clip_preprocess_shape_and_stats():
+    """clip_preprocess (_transform surface, clip/clip.py:79-86): bicubic
+    short-side resize + center crop + CLIP-stats normalization."""
+    import numpy as np
+    from weclip_tpu.models.clip.loader import (CLIP_MEAN, CLIP_STD,
+                                               clip_preprocess)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (375, 500, 3), dtype=np.uint8)
+    out = clip_preprocess(img)
+    assert out.shape == (3, 224, 224) and out.dtype == np.float32
+    # a uniform gray image maps to the exact normalized constant
+    gray = np.full((300, 300, 3), 128, np.uint8)
+    out = clip_preprocess(gray)
+    expect = (128 / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(out[:, 0, 0], expect, atol=1e-6)

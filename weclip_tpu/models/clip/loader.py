@@ -108,3 +108,32 @@ def load_clip(path: str, base: ClipConfig = None) -> Tuple[Dict[str, Any], ClipC
     sd = load_torch_state_dict(path)
     cfg = infer_config(sd, base)
     return params_from_state_dict(sd, cfg), cfg
+
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def clip_preprocess(image: np.ndarray, n_px: int = 224) -> np.ndarray:
+    """The canonical CLIP input transform (clip/clip.py:79-86 ``_transform``:
+    bicubic short-side resize, center crop, CLIP-stats normalization).
+
+    WeCLIP's own pipelines deliberately use ImageNet normalization instead
+    (transforms.py:8-15 quirk), so this exists for the ``clip.load`` API
+    surface: zero-shot probing or feature extraction at CLIP's native stats.
+
+    image: (H, W, 3) uint8 RGB -> (3, n_px, n_px) float32 normalized.
+    """
+    from PIL import Image as _Image
+    im = _Image.fromarray(image)
+    w, h = im.size
+    scale = n_px / min(w, h)
+    im = im.resize((max(n_px, int(round(w * scale))),
+                    max(n_px, int(round(h * scale)))), _Image.BICUBIC)
+    w, h = im.size
+    left, top = (w - n_px) // 2, (h - n_px) // 2
+    im = im.crop((left, top, left + n_px, top + n_px))
+    arr = np.asarray(im, np.float32) / 255.0
+    arr = (arr - np.asarray(CLIP_MEAN, np.float32)) \
+        / np.asarray(CLIP_STD, np.float32)
+    return arr.transpose(2, 0, 1)
