@@ -90,8 +90,20 @@ def apply_train_args(cfg: Config, args) -> Config:
     pr = cfg.precision
     if args.precision:
         pr = dataclasses.replace(pr, compute_dtype=args.precision)
-    # timestamped checkpoint dirs (dist_clip_voc.py:308-316)
+    # timestamped checkpoint dirs (dist_clip_voc.py:308-316); on --resume,
+    # reuse the newest run dir that actually holds a checkpoint — a fresh
+    # timestamp would silently restart from scratch
     ts = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M")
+    if getattr(args, "resume", False):
+        base = os.path.join(wd.dir, wd.ckpt_dir)
+        if os.path.isdir(base):
+            runs = sorted(
+                d for d in os.listdir(base)
+                if os.path.isdir(os.path.join(base, d))
+                and any(s.startswith("step_")
+                        for s in os.listdir(os.path.join(base, d))))
+            if runs:
+                ts = runs[-1]
     wd = dataclasses.replace(wd, ckpt_dir=os.path.join(wd.ckpt_dir, ts))
     return dataclasses.replace(cfg, dataset=ds, train=tr, work_dir=wd,
                                precision=pr)
