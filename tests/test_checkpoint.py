@@ -74,3 +74,26 @@ def test_restore_direct_step_path(tmp_path):
     params, opt, step = checkpoint.restore(path)
     assert step == 250 and opt is None
     np.testing.assert_array_equal(np.asarray(params["w"]), np.full(3, 5.0))
+
+
+def test_resume_picks_latest_checkpointed_run_dir(tmp_path):
+    """apply_train_args(--resume): reuse the newest timestamped run dir that
+    holds a step_* checkpoint instead of minting a fresh (empty) one."""
+    import os
+    import types
+    from weclip_tpu.cli.common import apply_train_args
+    from weclip_tpu.core.config import Config
+
+    cfg = Config()
+    wd = str(tmp_path / "work")
+    base = os.path.join(wd, cfg.work_dir.ckpt_dir)
+    os.makedirs(os.path.join(base, "2026-01-01-00-00", "step_00000010"))
+    os.makedirs(os.path.join(base, "2026-01-02-00-00", "step_00000020"))
+    os.makedirs(os.path.join(base, "2026-01-03-00-00"))      # empty run
+    args = types.SimpleNamespace(crop_size=None, radius=None, max_iters=None,
+                                 work_dir=wd, precision=None, resume=True)
+    out = apply_train_args(cfg, args)
+    assert out.work_dir.ckpt_dir.endswith("2026-01-02-00-00")
+    args.resume = False
+    out2 = apply_train_args(cfg, args)
+    assert not out2.work_dir.ckpt_dir.endswith("2026-01-02-00-00")
