@@ -69,8 +69,18 @@ def main():
 
     import os
     ckpt_dir = os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir)
+    start_step = 0
+    if args.resume and checkpoint.latest_step(ckpt_dir) is not None:
+        from weclip_tpu.train.step import TrainState
+        params, opt_state, start_step = checkpoint.restore(
+            ckpt_dir, template={"params": state.params,
+                                "opt_state": state.opt_state,
+                                "step": np.asarray(0)})
+        state = TrainState(params, opt_state,
+                           jnp.asarray(start_step, jnp.int32))
+        log.info("resumed from step %d", start_step)
     it = iter(loader)
-    for n_iter in range(cfg.train.max_iters):
+    for n_iter in range(start_step, cfg.train.max_iters):
         hb = next(it)
         dev = meshlib.shard_batch(mesh, {"img": hb["img"], "label": hb["label"]})
         batch = weclip.Batch(
