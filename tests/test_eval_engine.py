@@ -171,3 +171,42 @@ def test_batched_engine_matches_exact():
     total = sum((np.asarray(l) != 255).sum() for l in (ds[0]["label"], ds[1]["label"]))
     for h in hists:
         assert np.asarray(h).sum() == total
+
+
+def test_runner_crf_jax_path():
+    """Evaluator.run(crf=True, crf_impl='jax'): batched on-device mean-field
+    CRF over the output canvas produces a crf_seg score entry."""
+    import jax
+    from tests import tiny
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+    from weclip_tpu.models import weclip
+
+    cfg = tiny.tiny_config()
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    params = weclip.init_trainable_params(jax.random.PRNGKey(1), cfg)
+
+    rng = np.random.default_rng(0)
+    nfg = cfg.dataset.num_classes - 1
+
+    class DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            oh, ow = (56, 64) if i == 0 else (64, 48)
+            present = np.zeros(nfg, bool)
+            present[i % nfg] = True
+            raw = rng.integers(0, 255, (oh, ow, 3), dtype=np.uint8)
+            return {"name": f"x{i}",
+                    "img": rng.standard_normal((3, oh, ow)).astype(np.float32),
+                    "img_raw": raw,
+                    "label": rng.integers(0, nfg + 1, (oh, ow)).astype(np.int32),
+                    "present_mask": present}
+
+    prep = make_prep(cfg, max_ori=64, resize_long=64)
+    pe = np.asarray(clip_params["visual"]["positional_embedding"])
+    ev = Evaluator(cfg, prep, pe, with_cam=False, msc=False,
+                   class_buckets=(nfg,))
+    scores = ev.run(params, frozen, DS(), crf=True, crf_impl="jax")
+    assert "crf_seg" in scores
+    assert np.isfinite(scores["crf_seg"]["pAcc"])

@@ -61,6 +61,11 @@ def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
     p.add_argument("--resize_long", default=512, type=int)
     p.add_argument("--eval_set", default="val", type=str)
     p.add_argument("--model_path", default=None, type=str)
+    p.add_argument("--crf_impl", default="native",
+                   choices=["native", "jax"],
+                   help="dense-CRF backend: exact C++ permutohedral lattice "
+                        "on the host, or the approximate batched on-device "
+                        "JAX mean field")
     p.add_argument("--crf", action="store_true",
                    help="dense-CRF post-processing (the reference defines "
                         "crf_proc but ships with the call commented out)")

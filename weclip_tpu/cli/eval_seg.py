@@ -46,7 +46,7 @@ def main():
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=False, msc=True)
     scores = ev.run(params, frozen, ds, max_images=args.max_images,
-                    progress=True, crf=args.crf)
+                    progress=True, crf=args.crf, crf_impl=args.crf_impl)
     log.info("segs score:\n%s", scores["seg"])
     log.info("msc segs score:\n%s", scores["msc_seg"])
     if "crf_seg" in scores:
