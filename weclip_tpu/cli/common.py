@@ -57,7 +57,11 @@ def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=default_config, type=str)
     p.add_argument("--work_dir", default="results", type=str)
-    p.add_argument("--bkg_score", default=0.45, type=float)
+    p.add_argument("--bkg_score", default=0.45, type=float,
+                   help="INERT reference-parity flag: the reference parses "
+                        "it but never reads it (background comes from "
+                        "pow(1-max_cam, bg_exponent)); kept so command "
+                        "lines port over unchanged")
     p.add_argument("--resize_long", default=512, type=int)
     p.add_argument("--eval_set", default="val", type=str)
     p.add_argument("--model_path", default=None, type=str)

@@ -112,7 +112,8 @@ class EvalConfig:
     resize_long: int = 512
     scales: Tuple[float, ...] = (1.0, 0.75)
     use_flip: bool = True
-    bkg_score: float = 0.45
+    bkg_score: float = 0.45                # INERT: parsed-but-unused in the
+                                           # reference too; kept for CLI parity
     batch_images: int = 8                  # images batched per TTA step (TPU-native)
     crf: "CrfConfig" = field(default_factory=lambda: CrfConfig())
 

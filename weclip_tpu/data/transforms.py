@@ -68,8 +68,10 @@ def random_crop(image: np.ndarray, crop_size: int,
     h, w = image.shape[:2]
     big_h, big_w = max(crop_size, h), max(crop_size, w)
     pad_img = np.zeros((big_h, big_w, 3), np.float32)
-    h_pad = int(np.random.randint(big_h - h + 1))
-    w_pad = int(np.random.randint(big_w - w + 1))
+    # pad offsets must come from the SAME seeded rng as the crop offsets,
+    # or VOCClsDataset(seed=...) determinism silently breaks
+    h_pad = r.randrange(0, big_h - h + 1)
+    w_pad = r.randrange(0, big_w - w + 1)
     pad_img[h_pad:h_pad + h, w_pad:w_pad + w] = image
 
     pad_label = None

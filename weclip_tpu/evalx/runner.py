@@ -118,9 +118,15 @@ class Evaluator:
         self.combine = make_eval_combine(cfg, msc=msc, prep=prep)
         self.msc_logits = make_msc_logits(cfg, msc=msc, prep=prep)
         self._pe_cache: dict = {}
-        self._img_buf1 = None
-        self._img_buf2 = None
-        self._lab_buf = None
+        # Double-buffered host staging: jnp.asarray/device_put of a numpy
+        # array is async, so the prefetch thread must not overwrite batch
+        # i's buffers while its transfer may still be in flight.  Two
+        # buffer sets alternate per build_batch call (prefetch depth is 1),
+        # and before a set is REUSED we block on the device arrays it last
+        # fed — that waits only for transfer completion, not compute.
+        self._host_bufs = [None, None]
+        self._inflight = [None, None]
+        self._buf_flip = 0
 
     def scale1_for(self, mc: int):
         if mc not in self._scale1_cache:
@@ -143,13 +149,19 @@ class Evaluator:
         s2 = cfg.eval.scales[1] if len(cfg.eval.scales) > 1 else 0.75
 
         b = len(examples)
-        if self._img_buf1 is None or self._img_buf1.shape[0] != b:
-            self._img_buf1 = np.zeros((b, 3, prep.canvas_in1, prep.canvas_in1),
-                                      np.float32)
-            self._img_buf2 = np.zeros((b, 3, prep.canvas_in2, prep.canvas_in2),
-                                      np.float32)
-            self._lab_buf = np.zeros((b, prep.canvas_out, prep.canvas_out),
-                                     np.uint8)
+        flip, self._buf_flip = self._buf_flip, 1 - self._buf_flip
+        bufs = self._host_bufs[flip]
+        if bufs is None or bufs[0].shape[0] != b:
+            bufs = (np.zeros((b, 3, prep.canvas_in1, prep.canvas_in1),
+                             np.float32),
+                    np.zeros((b, 3, prep.canvas_in2, prep.canvas_in2),
+                             np.float32),
+                    np.zeros((b, prep.canvas_out, prep.canvas_out), np.uint8))
+            self._host_bufs[flip] = bufs
+        img_buf1, img_buf2, lab_buf = bufs
+        if self._inflight[flip] is not None:
+            for arr in self._inflight[flip]:
+                arr.block_until_ready()
 
         cols1, cols2, size_rows, presents = [], [], [], []
         for j, ex in enumerate(examples):
@@ -162,7 +174,7 @@ class Evaluator:
                 h1, w1 = oh, ow
             col1, img1 = _scale_example(img, (h1, w1), prep.canvas_in1,
                                         patch, self.pe_table, self._pe_cache,
-                                        self._img_buf1[j],
+                                        img_buf1[j],
                                         return_resized=True)
             cols1.append(col1)
             if self.msc:
@@ -172,12 +184,12 @@ class Evaluator:
                 h2, w2 = int(h1 * s2), int(w1 * s2)
                 cols2.append(_scale_example(img1, (h2, w2), prep.canvas_in2,
                                             patch, self.pe_table,
-                                            self._pe_cache, self._img_buf2[j]))
+                                            self._pe_cache, img_buf2[j]))
             else:
                 h2 = w2 = patch
             size_rows.append((oh, ow, h1, w1, h2, w2))
-            self._lab_buf[j] = 255
-            self._lab_buf[j, :oh, :ow] = np.asarray(ex["label"], np.uint8)
+            lab_buf[j] = 255
+            lab_buf[j, :oh, :ow] = np.asarray(ex["label"], np.uint8)
             presents.append(ex["present_mask"])
 
         def stack_scale(cols, img_buf):
@@ -189,13 +201,14 @@ class Evaluator:
                               jnp.asarray(np.asarray(gh, np.int32)),
                               jnp.asarray(np.asarray(gw, np.int32)))
 
-        sb1 = stack_scale(cols1, self._img_buf1)
-        sb2 = stack_scale(cols2, self._img_buf2) if self.msc else sb1
+        sb1 = stack_scale(cols1, img_buf1)
+        sb2 = stack_scale(cols2, img_buf2) if self.msc else sb1
         size_cols = np.ascontiguousarray(np.asarray(size_rows, np.int32).T)
         sizes = EvalSizes(*(jnp.asarray(c) for c in size_cols))
         presents = np.stack(presents)
         cls_idx, cls_active = self.class_compaction(presents)
-        out = (sb1, sb2, sizes, jnp.asarray(self._lab_buf),
+        labels_dev = jnp.asarray(lab_buf)
+        out = (sb1, sb2, sizes, labels_dev,
                jnp.asarray(presents), jnp.asarray(cls_idx),
                jnp.asarray(cls_active))
         if self.mesh is not None:
@@ -206,6 +219,9 @@ class Evaluator:
                     x, meshlib.batch_sharding(self.mesh, np.ndim(x)))
 
             out = jax.tree_util.tree_map(shard, out)
+            sb1, sb2, _, labels_dev = out[0], out[1], out[2], out[3]
+        self._inflight[flip] = ((sb1.img, sb2.img, labels_dev) if self.msc
+                                else (sb1.img, labels_dev))
         return out
 
     # -- dataset loop ---------------------------------------------------------

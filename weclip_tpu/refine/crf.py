@@ -77,23 +77,35 @@ def permutohedral_filter(features: np.ndarray, values: np.ndarray) -> np.ndarray
 
 def crf_inference(img: np.ndarray, probs: np.ndarray, t: int = 10,
                   scale_factor: float = 1.0, labels: int = 21) -> np.ndarray:
-    """Functional wrapper (utils/dcrf.py crf_inference surface): image (H,W,3)
-    uint8 + (C,H,W) probabilities -> refined probabilities."""
+    """Functional wrapper (utils/dcrf.py:7-23 crf_inference surface): image
+    (H,W,3) uint8 + (C,H,W) probabilities -> refined probabilities.
+
+    Uses that function's own pairwise constants (dcrf.py:20-21:
+    Gaussian sxy=3/scale compat=3; bilateral sxy=80/scale srgb=13
+    compat=10), which differ from the DenseCRF msc-flip-driver params.
+    """
     crf = DenseCRF(iter_max=t, pos_xy_std=3 / scale_factor, pos_w=3,
-                   bi_xy_std=64 / scale_factor, bi_rgb_std=5, bi_w=4)
+                   bi_xy_std=80 / scale_factor, bi_rgb_std=13, bi_w=10)
     return crf(img, probs[:labels])
 
 
 def crf_inference_label(img: np.ndarray, labels_map: np.ndarray, t: int = 10,
                         n_labels: int = 21, gt_prob: float = 0.7) -> np.ndarray:
-    """Hard-label unary variant (utils/dcrf.py crf_inference_label surface):
-    seed the unary from a label map with confidence gt_prob, return argmax."""
+    """Hard-label unary variant (utils/dcrf.py:26-42 crf_inference_label
+    surface): seed the unary from a label map with confidence gt_prob,
+    return argmax.
+
+    Its pairwise constants are its own (dcrf.py:35-36: Gaussian sxy=3
+    compat=3; bilateral sxy=50 srgb=5 compat=10) — not crf_inference's.
+    """
     h, w = labels_map.shape
     probs = np.full((n_labels, h, w), (1.0 - gt_prob) / (n_labels - 1),
                     np.float32)
     ys, xs = np.mgrid[0:h, 0:w]
     probs[labels_map.reshape(-1), ys.reshape(-1), xs.reshape(-1)] = gt_prob
-    out = crf_inference(img, probs, t=t, labels=n_labels)
+    crf = DenseCRF(iter_max=t, pos_xy_std=3, pos_w=3,
+                   bi_xy_std=50, bi_rgb_std=5, bi_w=10)
+    out = crf(img, probs)
     return out.argmax(0).astype(labels_map.dtype)
 
 
@@ -158,22 +170,35 @@ def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8):
     ys = jnp.arange(hs, dtype=jnp.float32)[:, None]
     xs = jnp.arange(ws, dtype=jnp.float32)[None, :]
 
+    # (2r+1)^2 window offsets; iterated with fori_loop so the HLO holds ONE
+    # shifted-window term, not ~1089 unrolled copies (the window radius is
+    # already 2-sigma-capped above).
+    offs = jnp.asarray(
+        np.stack(np.meshgrid(np.arange(-r_bi, r_bi + 1),
+                             np.arange(-r_bi, r_bi + 1),
+                             indexing="ij"), -1).reshape(-1, 2), jnp.int32)
+
     def bilateral(qs):
         """Windowed exact bilateral on the subsampled grid: (C,hs,ws)."""
-        acc = jnp.zeros_like(qs)
-        norm = jnp.zeros((1, hs, ws), jnp.float32)
-        for dy in range(-r_bi, r_bi + 1):
-            for dx in range(-r_bi, r_bi + 1):
-                sh = jnp.roll(jnp.roll(qs, dy, -2), dx, -1)
-                img_sh = jnp.roll(jnp.roll(img_s, dy, -2), dx, -1)
-                dist2 = (dy * dy + dx * dx) / (sig_s * sig_s)
-                cd2 = jnp.sum((img_s - img_sh) ** 2, axis=0, keepdims=True)
-                inb = (((ys + dy) >= 0) & ((ys + dy) < hs)
-                       & ((xs + dx) >= 0) & ((xs + dx) < ws))[None]
-                k = jnp.exp(-0.5 * (dist2 + cd2)) * inb
-                acc = acc + sh * k
-                norm = norm + k
-        return acc, norm
+        def step(i, carry):
+            acc, norm = carry
+            dy, dx = offs[i, 0], offs[i, 1]
+            sh = jnp.roll(qs, (dy, dx), (-2, -1))
+            img_sh = jnp.roll(img_s, (dy, dx), (-2, -1))
+            dist2 = (dy * dy + dx * dx).astype(jnp.float32) / (sig_s * sig_s)
+            cd2 = jnp.sum((img_s - img_sh) ** 2, axis=0, keepdims=True)
+            inb = (((ys + dy) >= 0) & ((ys + dy) < hs)
+                   & ((xs + dx) >= 0) & ((xs + dx) < ws))[None]
+            k = jnp.exp(-0.5 * (dist2 + cd2)) * inb
+            return acc + sh * k, norm + k
+        return jax.lax.fori_loop(
+            0, offs.shape[0], step,
+            (jnp.zeros_like(qs), jnp.zeros((1, hs, ws), jnp.float32)))
+
+    # the bilateral normalizer depends only on the image, not on q — compute
+    # it once instead of once per mean-field iteration
+    _, normb = bilateral(jnp.zeros((1, hs, ws), jnp.float32))
+    nb = jax.lax.rsqrt(normb + 1e-20)
 
     def body(q, _):
         logits = -unary
@@ -182,8 +207,6 @@ def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8):
         logits = logits + cfg.pos_w * msg
         # bilateral (subsampled, symmetric-normalized)
         qs = resize_bilinear(q, hs, ws)
-        acc, normb = bilateral(qs)
-        nb = jax.lax.rsqrt(normb + 1e-20)
         msg_s, _ = bilateral(qs * nb)
         msg_b = resize_bilinear(nb * msg_s, h, w)
         logits = logits + cfg.bi_w * msg_b

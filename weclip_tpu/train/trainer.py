@@ -127,7 +127,11 @@ def train(cfg: Config, resume: bool = False,
     total = max_steps or cfg.train.max_iters
     t_start = time.time()
     t_window = time.time()
-    losses = []
+    # metrics accumulate as a device-side running sum — ONE host readback
+    # per log window instead of log_iters readbacks (each ~30ms over the
+    # axon tunnel, multi-second stalls otherwise)
+    msum = None
+    n_in_window = 0
 
     from weclip_tpu.utils.tb import ScalarWriter
     writer = ScalarWriter(os.path.join(cfg.work_dir.dir,
@@ -155,15 +159,16 @@ def train(cfg: Config, resume: bool = False,
         dev_c = meshlib.shard_batch(mesh, {"ci": ci, "ca": ca})
         state, m = step_fn(state, frozen, batch, rng, dev_c["ci"], dev_c["ca"],
                            jnp.asarray(val_forward_calls, jnp.int32))
-        losses.append(m)
+        msum = m if msum is None else jax.tree_util.tree_map(jnp.add, msum, m)
+        n_in_window += 1
         if profile_steps and n_iter == profile_steps[1]:
             jax.block_until_ready(m.loss)
             jax.profiler.stop_trace()
 
         if (n_iter + 1) % cfg.train.log_iters == 0:
-            ms = jax.tree_util.tree_map(lambda *xs: float(np.mean([np.asarray(x) for x in xs])),
-                                        *losses)
-            losses = []
+            ms = jax.tree_util.tree_map(lambda x: float(x) / n_in_window, msum)
+            msum = None
+            n_in_window = 0
             window_s = time.time() - t_window
             t_window = time.time()
             rate = cfg.train.log_iters * global_batch / window_s
