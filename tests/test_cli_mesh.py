@@ -1,0 +1,65 @@
+"""The --mesh plumbing: CLI arg -> data mesh -> sharded eval through the
+same helpers the drivers use (cli/common.build_eval_mesh, trainer.validate).
+"""
+
+import argparse
+import dataclasses
+
+import jax
+import numpy as np
+
+from tests import tiny
+from tests.test_eval_engine import FakeDataset
+from weclip_tpu.cli import common
+from weclip_tpu.core import precision
+from weclip_tpu.core.config import ParConfig
+from weclip_tpu.models import weclip
+from weclip_tpu.parallel import mesh as meshlib
+
+
+def _args(mesh):
+    return argparse.Namespace(mesh=mesh)
+
+
+def test_build_eval_mesh_resolves_and_replicates():
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, batch_images=6))
+    frozen, _ = tiny.tiny_frozen(cfg)
+    params = weclip.init_trainable_params(jax.random.PRNGKey(0), cfg)
+
+    cfg2, mesh, params2, frozen2 = common.build_eval_mesh(
+        cfg, _args(-1), params, frozen)
+    n = jax.device_count()
+    assert mesh is not None and mesh.shape["data"] == n
+    assert cfg2.eval.batch_images % n == 0
+    # replicated leaves carry the mesh sharding
+    leaf = jax.tree_util.tree_leaves(params2)[0]
+    assert leaf.sharding.mesh.shape == mesh.shape
+
+    # single-chip request leaves everything untouched
+    cfg1, mesh1, p1, f1 = common.build_eval_mesh(cfg, _args(1), params, frozen)
+    assert mesh1 is None and p1 is params and f1 is frozen
+    assert cfg1.eval.batch_images == 6
+
+
+def test_trainer_validate_sharded_matches_single():
+    from weclip_tpu.train.trainer import validate
+    assert jax.device_count() >= 8
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(
+        cfg, par=ParConfig(dilations=(1, 2), num_iter=2),
+        eval=dataclasses.replace(cfg.eval, batch_images=8))
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    params = weclip.init_trainable_params(jax.random.PRNGKey(5), cfg)
+    ds = FakeDataset(cfg, [(48, 64), (64, 48), (64, 64), (40, 56)])
+
+    single = validate(cfg, params, frozen, clip_params, ds, precision.FP32)
+
+    mesh = meshlib.make_mesh(data_parallel=8)
+    sharded = validate(cfg, meshlib.replicate(mesh, params),
+                       meshlib.replicate(mesh, frozen), clip_params, ds,
+                       precision.FP32, mesh=mesh)
+    for k in ("seg", "cam"):
+        np.testing.assert_allclose(sharded[k]["miou"], single[k]["miou"],
+                                   rtol=1e-6, err_msg=k)

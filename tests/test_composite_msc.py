@@ -1,0 +1,125 @@
+"""COMPOSITE golden: the reference msc-flip validate loop vs the batched
+``evalx`` engine, on identical tiny weights and odd-sized synthetic images.
+
+The loop body below mirrors /root/reference/test_msc_flip_voc.py:32-113
+statement by statement, driving the ACTUAL reference ``WeCLIP`` module; the
+engine runs the same images through the padded-canvas TPU path.  Agreement
+of the three confusion histograms (single-scale seg, msc seg, cam pseudo
+labels) is the mIoU-parity proxy in the absence of real VOC data.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.test_composite_golden import (NUM_FG, build_tiny_pair, cpu_cuda,
+                                         present_from_label)
+from tests.test_reference_golden import REF
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
+RESIZE_LONG = 80
+SCALES = (1.0, 0.75)
+
+
+def _odd_labels():
+    """Three odd-sized images (none a multiple of 16) with 1-2 classes."""
+    lab0 = np.zeros((70, 93), np.uint8)
+    lab0[12:40, 10:50] = 5                       # -> class 4
+    lab1 = np.zeros((64, 96), np.uint8)
+    lab1[4:30, 8:40] = 13                        # -> class 12
+    lab1[35:60, 50:90] = 20                      # -> class 19
+    lab1[:3, :] = 255
+    lab2 = np.zeros((57, 85), np.uint8)
+    lab2[20:50, 20:70] = 8                       # -> class 7
+    return [("v0", lab0), ("v1", lab1), ("v2", lab2)]
+
+
+def _ref_validate(torch, model, examples):
+    """test_msc_flip_voc.py:32-113 minus the DataLoader/np.save plumbing."""
+    import torch.nn.functional as F
+    sys.path.insert(0, REF) if REF not in sys.path else None
+    from utils import evaluate
+
+    preds, msc_preds, cams, gts = [], [], [], []
+    for ex in examples:
+        inputs = torch.from_numpy(ex["img"])[None]
+        names = [ex["name"], ex["name"]]
+        _, _, h, w = inputs.shape
+        ratio = RESIZE_LONG / max(h, w)
+        _h, _w = int(h * ratio), int(w * ratio)
+        inputs = F.interpolate(inputs, size=(_h, _w), mode="bilinear",
+                               align_corners=False)
+
+        segs_list = []
+        inputs_cat = torch.cat([inputs, inputs.flip(-1)], dim=0)
+        segs_cat, cam, _ = model(inputs_cat, names, mode="val")
+        cam = cam[0].unsqueeze(0)
+        segs = segs_cat[0].unsqueeze(0)
+        segs_list.append((segs_cat[0, ...] + segs_cat[1, ...].flip(-1)) / 2)
+        _, _, hh, ww = segs_cat.shape
+
+        for s in SCALES:
+            if s != 1.0:
+                _inputs = F.interpolate(inputs, scale_factor=s,
+                                        mode="bilinear", align_corners=False)
+                inputs_cat = torch.cat([_inputs, _inputs.flip(-1)], dim=0)
+                segs_cat, _, _ = model(inputs_cat, names, mode="val")
+                _segs_cat = F.interpolate(segs_cat, size=(hh, ww),
+                                          mode="bilinear", align_corners=False)
+                segs_list.append(
+                    (_segs_cat[0, ...] + _segs_cat[1, ...].flip(-1)) / 2)
+
+        msc_segs = torch.mean(torch.stack(segs_list, dim=0), dim=0
+                              ).unsqueeze(0)
+        labels = torch.from_numpy(ex["label"].astype(np.int64))[None]
+        resized_segs = F.interpolate(segs, size=labels.shape[1:],
+                                     mode="bilinear", align_corners=False)
+        resized_msc = F.interpolate(msc_segs, size=labels.shape[1:],
+                                    mode="bilinear", align_corners=False)
+        preds += list(torch.argmax(resized_segs, dim=1).numpy())
+        msc_preds += list(torch.argmax(resized_msc, dim=1).numpy())
+        cams += list(cam.numpy().astype(np.int16))
+        gts += list(labels.numpy().astype(np.int16))
+
+    k = NUM_FG + 1
+    h_seg, _ = evaluate.scores(gts, preds, np.zeros((k, k)), num_classes=k)
+    h_msc, _ = evaluate.scores(gts, msc_preds, np.zeros((k, k)),
+                               num_classes=k)
+    h_cam, _ = evaluate.scores(gts, cams, np.zeros((k, k)), num_classes=k)
+    return h_seg, h_msc, h_cam
+
+
+def test_mscflip_engine_matches_reference_loop(cpu_cuda, tmp_path):
+    torch = cpu_cuda
+    labels = _odd_labels()
+    (model, names, params, frozen, cfg, imgs,
+     present) = build_tiny_pair(torch, tmp_path, labels=labels)
+
+    examples = [{"name": n, "img": im, "label": lab.astype(np.int32),
+                 "present_mask": present_from_label(lab)}
+                for (n, lab), im in zip(labels, imgs)]
+
+    h_seg, h_msc, h_cam = _ref_validate(torch, model, examples)
+
+    from weclip_tpu.core import precision
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+    prep = make_prep(cfg, max_ori=96, resize_long=RESIZE_LONG)
+    pe = np.asarray(frozen["visual"]["positional_embedding"])
+    ev = Evaluator(cfg, prep, pe, policy=precision.FP32, with_cam=True,
+                   msc=True)
+    out = ev.run(params, frozen, examples, return_hists=True)
+
+    total = sum((lab != 255).sum() for _, lab in labels)
+    for key, ref_h in (("seg", h_seg), ("msc_seg", h_msc), ("cam", h_cam)):
+        ours_h = out["hists"][key]
+        assert ours_h.sum() == ref_h.sum() == total, (
+            key, ours_h.sum(), ref_h.sum(), total)
+        mismatch = np.abs(ours_h - ref_h).sum() / 2 / total
+        # near-tie argmax flips from the reference's fp16 attention islands
+        assert mismatch <= 0.02, f"{key}: {mismatch:.4f} of pixels disagree"

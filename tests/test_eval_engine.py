@@ -58,8 +58,12 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
     def forward(img_chw):
         h, w = img_chw.shape[1:]
         gh, gw = h // PATCH, w // PATCH
-        x = img_chw[None, :, :gh * PATCH, :gw * PATCH]
-        x2 = jnp.concatenate([x, jnp.flip(x, -1)])
+        # the reference flips the FULL image before patch extraction
+        # (test_msc_flip_voc.py:68); when w % 16 != 0 that is NOT the flip
+        # of the cropped patch area, so flip first, crop after
+        xfull = img_chw[None]
+        x2 = jnp.concatenate([xfull, jnp.flip(xfull, -1)]
+                             )[:, :, :gh * PATCH, :gw * PATCH]
         pe = vit.build_pos_emb(params_visual, gh, gw)[None]
         valid = jnp.ones((2, gh * gw + 1), bool)
         batch = weclip.Batch(jnp.asarray(x2), jnp.concatenate([pe, pe]), valid,
@@ -108,9 +112,13 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
     cam_label = jnp.argmax(par_refine(img_ori, stack, cfg.par), axis=1)[0]
 
     # scale 0.75 — derived from the scale-1-resized image like the reference
+    # (test_msc_flip_voc.py:81), with torch's scale_factor coordinate
+    # mapping, NOT size-based (see operators.scale_factor_matrix)
+    from weclip_tpu.evalx.operators import resize_by_scale
     h2, w2 = int(h1 * scales[1]), int(w1 * scales[1])
     img1 = cv2_resize(img, h1, w1)
-    _, _, _, seg_avg2, (gh2, gw2), _ = forward(jnp.asarray(cv2_resize(img1, h2, w2)))
+    img2 = resize_by_scale(np.asarray(img1, np.float32), (h2, w2), scales[1])
+    _, _, _, seg_avg2, (gh2, gw2), _ = forward(jnp.asarray(img2))
     seg2_on1 = resize_bilinear(seg_avg2, gh1, gw1)
     msc = (seg_avg1 + seg2_on1) / 2.0
 

@@ -81,7 +81,40 @@ def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
     p.add_argument("--save_logits", action="store_true",
                    help="dump per-image {segs, msc_segs} npys like "
                         "test_msc_flip_voc.py:111")
+    add_mesh_arg(p)
     return p
+
+
+def add_mesh_arg(p: argparse.ArgumentParser):
+    p.add_argument("--mesh", default=-1, type=int,
+                   help="data-parallel evaluation: shard TTA batches over "
+                        "this many devices (-1 = all local devices, 1 = "
+                        "single chip); eval.batch_images is rounded up to a "
+                        "multiple of the mesh size")
+
+
+def build_eval_mesh(cfg: Config, args, params, frozen):
+    """Resolve --mesh into (cfg, mesh, params, frozen): a (data,) mesh over
+    the requested device count with params/frozen replicated onto it and the
+    eval batch rounded up to a mesh multiple.  Returns mesh=None (inputs
+    untouched) for a single device."""
+    import jax
+    n = getattr(args, "mesh", -1)
+    if n in (-1, 0, None):
+        n = jax.device_count()
+    if n <= 1:
+        return cfg, None, params, frozen
+    from weclip_tpu.parallel import mesh as meshlib
+    mesh = meshlib.make_mesh(data_parallel=n)
+    bsz = ((cfg.eval.batch_images + n - 1) // n) * n
+    if bsz != cfg.eval.batch_images:
+        logging.getLogger("weclip_tpu").info(
+            "eval.batch_images %d -> %d (multiple of %d-device mesh)",
+            cfg.eval.batch_images, bsz, n)
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, batch_images=bsz))
+    return (cfg, mesh, meshlib.replicate(mesh, params),
+            meshlib.replicate(mesh, frozen))
 
 
 def apply_train_args(cfg: Config, args) -> Config:

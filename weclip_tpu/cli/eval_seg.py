@@ -42,9 +42,12 @@ def main():
 
     ds = VOCSegDataset(cfg.dataset, split=args.eval_set,
                        stage="test" if "test" in args.eval_set else "val")
+    cfg, mesh, params, frozen = common.build_eval_mesh(cfg, args, params,
+                                                       frozen)
     prep = make_prep(cfg, max_ori=512, resize_long=args.resize_long)
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
-    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=False, msc=True)
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=False, msc=True,
+                   mesh=mesh)
     scores = ev.run(params, frozen, ds, max_images=args.max_images,
                     progress=True, crf=args.crf, crf_impl=args.crf_impl)
     log.info("segs score:\n%s", scores["seg"])

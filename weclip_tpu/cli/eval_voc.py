@@ -47,10 +47,14 @@ def run_eval(cfg, args, dataset_name: str):
                            stage="test" if "test" in args.eval_set else "val")
         max_ori = 512
 
+    # msc-flip TTA batched across TPU cores (BASELINE.md north star):
+    # shard the eval batch over a data mesh, replicate the weights
+    cfg, mesh, params, frozen = common.build_eval_mesh(cfg, args, params,
+                                                       frozen)
     prep = make_prep(cfg, max_ori=max_ori, resize_long=args.resize_long)
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
     ev = Evaluator(cfg, prep, pe, policy=policy,
-                   with_cam=(dataset_name == "voc"), msc=True)
+                   with_cam=(dataset_name == "voc"), msc=True, mesh=mesh)
     scores = ev.run(params, frozen, ds, max_images=args.max_images,
                     progress=True, crf=args.crf, crf_impl=args.crf_impl,
                     save_dir=args.work_dir if args.save_preds else None,

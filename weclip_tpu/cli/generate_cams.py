@@ -38,6 +38,7 @@ def main():
                             "score_cam", "ablation_cam"],
                    help="CAM engine (pytorch_grad_cam method surface; the "
                         "reference's live path is grad_cam)")
+    common.add_mesh_arg(p)
     args = p.parse_args()
     common.setup_logger()
 
@@ -61,10 +62,14 @@ def main():
         from weclip_tpu.data.voc import VOCSegDataset as DS
     ds = DS(cfg.dataset, split=args.split, stage="train")
 
+    # data-parallel CAM generation: the mesh replaces the reference's
+    # torch.multiprocessing process sharding (generate_cams_voc12.py:244)
+    cfg, mesh, _, frozen = common.build_eval_mesh(cfg, args, {}, frozen)
     prep = make_prep(cfg, max_ori=640 if cfg.dataset.name == "coco" else 512,
                      resize_long=args.resize_long)
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
-    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=False)
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=False,
+                   mesh=mesh)
     num_fg = cfg.dataset.num_classes - 1
 
     from weclip_tpu.evalx.engine import _dev_ops_cam

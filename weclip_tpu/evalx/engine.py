@@ -44,6 +44,12 @@ class ScaleBatch(NamedTuple):
     valid: jax.Array        # (B, L)
     gh: jax.Array           # (B,)
     gw: jax.Array           # (B,)
+    w_px: jax.Array         # (B,) valid image width in PIXELS.  The
+    # reference flips the resized image *before* patch extraction
+    # (test_msc_flip_voc.py:68: inputs.flip(-1)); when the width is not a
+    # multiple of the patch size the flipped patch grid samples different
+    # pixels than a flipped grid would, so the flip must cover w_px
+    # columns, not gw*patch.
 
 
 class EvalSizes(NamedTuple):
@@ -124,9 +130,10 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
             cls_idx, cls_active):
         b = sb.img.shape[0]
         g = sb.img.shape[-1] // cfg.clip.patch_size
-        # flip-concatenated forward (test_msc_flip_voc.py:68)
-        img_f = jax.vmap(lambda x, w: _flip_valid(x, w * cfg.clip.patch_size, 1))(
-            sb.img.transpose(0, 2, 3, 1), sb.gw).transpose(0, 3, 1, 2)
+        # flip-concatenated forward (test_msc_flip_voc.py:68) — the flip
+        # covers the full valid image width in pixels (see ScaleBatch.w_px)
+        img_f = jax.vmap(lambda x, w: _flip_valid(x, w, 1))(
+            sb.img.transpose(0, 2, 3, 1), sb.w_px).transpose(0, 3, 1, 2)
         batch2 = weclip.Batch(
             img=jnp.concatenate([sb.img, img_f]),
             pos_emb=jnp.concatenate([sb.pos_emb, sb.pos_emb]),
@@ -212,8 +219,8 @@ def make_eval_scale2(cfg: Config, policy: precision.Policy = precision.DEFAULT):
     def run(params, frozen, sb: ScaleBatch, present_mask):
         b = sb.img.shape[0]
         g = sb.img.shape[-1] // cfg.clip.patch_size
-        img_f = jax.vmap(lambda x, w: _flip_valid(x, w * cfg.clip.patch_size, 1))(
-            sb.img.transpose(0, 2, 3, 1), sb.gw).transpose(0, 3, 1, 2)
+        img_f = jax.vmap(lambda x, w: _flip_valid(x, w, 1))(
+            sb.img.transpose(0, 2, 3, 1), sb.w_px).transpose(0, 3, 1, 2)
         batch2 = weclip.Batch(
             img=jnp.concatenate([sb.img, img_f]),
             pos_emb=jnp.concatenate([sb.pos_emb, sb.pos_emb]),

@@ -60,6 +60,36 @@ def clamp_resize_matrix(in_size: int, out_size: int,
     return m
 
 
+@lru_cache(maxsize=4096)
+def scale_factor_matrix(in_size: int, out_size: int,
+                        scale: float) -> np.ndarray:
+    """(out, in) bilinear matrix with torch's scale_factor semantics:
+    F.interpolate(x, scale_factor=s) maps coordinates through the ORIGINAL
+    scale (src = (dst+0.5)/s - 0.5), not out/in — the two differ whenever
+    in*s is fractional (ATen compute_scales_value).  The reference's
+    0.75-scale TTA input uses exactly this (test_msc_flip_voc.py:81)."""
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.clip((dst + 0.5) / scale - 0.5, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = src - lo
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    m[rows, hi] = w_hi
+    m[rows, lo] += 1.0 - w_hi
+    return m
+
+
+def resize_by_scale(img_chw: np.ndarray, out_hw, scale: float) -> np.ndarray:
+    """Host bilinear resize of (C,H,W) with scale_factor coordinate
+    mapping (see scale_factor_matrix)."""
+    oh, ow = out_hw
+    mh = scale_factor_matrix(img_chw.shape[1], oh, scale)
+    mw = scale_factor_matrix(img_chw.shape[2], ow, scale)
+    out = np.tensordot(mh, img_chw, axes=(1, 1))          # (oh, C, W)
+    return np.tensordot(out, mw, axes=(2, 1)).transpose(1, 0, 2)
+
+
 def identity_grid_matrix(in_size: int, src_pad: int, canvas: int) -> np.ndarray:
     """Degenerate operator (copy + clamp) for same-size paths."""
     return clamp_resize_matrix(in_size, in_size, canvas, src_pad)

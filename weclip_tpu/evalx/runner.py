@@ -60,7 +60,8 @@ def make_prep(cfg: Config, max_ori: int, resize_long: Optional[int]) -> EvalPrep
 def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
                    canvas: int, patch: int, pe_table: np.ndarray,
                    pe_cache: dict, img_out: np.ndarray,
-                   return_resized: bool = False):
+                   return_resized: bool = False,
+                   scale: Optional[float] = None):
     """Resize-and-pad one (3,H,W) float image into the preallocated batch
     slot ``img_out`` (host memcpy is expensive on small hosts — one write,
     no stacking copies); returns (pe_dev, valid_dev, gh, gw).
@@ -70,8 +71,15 @@ def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
     import jax.numpy as jnp
     h, w = target_hw
     if (h, w) != img_chw.shape[1:]:
-        img_chw = cv2.resize(img_chw.transpose(1, 2, 0), (w, h),
-                             interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
+        if scale is not None:
+            # scale_factor coordinate mapping (torch F.interpolate parity;
+            # differs from size-based mapping when in*scale is fractional)
+            from weclip_tpu.evalx.operators import resize_by_scale
+            img_chw = resize_by_scale(img_chw, (h, w), scale)
+        else:
+            img_chw = cv2.resize(
+                img_chw.transpose(1, 2, 0), (w, h),
+                interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
     resized = img_chw
     gh, gw = h // patch, w // patch
     g = canvas // patch
@@ -184,7 +192,8 @@ class Evaluator:
                 h2, w2 = int(h1 * s2), int(w1 * s2)
                 cols2.append(_scale_example(img1, (h2, w2), prep.canvas_in2,
                                             patch, self.pe_table,
-                                            self._pe_cache, img_buf2[j]))
+                                            self._pe_cache, img_buf2[j],
+                                            scale=s2))
             else:
                 h2 = w2 = patch
             size_rows.append((oh, ow, h1, w1, h2, w2))
@@ -192,17 +201,20 @@ class Evaluator:
             lab_buf[j, :oh, :ow] = np.asarray(ex["label"], np.uint8)
             presents.append(ex["present_mask"])
 
-        def stack_scale(cols, img_buf):
+        def stack_scale(cols, img_buf, w_px):
             pe, valid, gh, gw = zip(*cols)
             # pe/valid are cached device arrays: stack on device (no host copy)
             return ScaleBatch(jnp.asarray(img_buf),
                               jnp.stack(pe),
                               jnp.stack(valid),
                               jnp.asarray(np.asarray(gh, np.int32)),
-                              jnp.asarray(np.asarray(gw, np.int32)))
+                              jnp.asarray(np.asarray(gw, np.int32)),
+                              jnp.asarray(np.asarray(w_px, np.int32)))
 
-        sb1 = stack_scale(cols1, img_buf1)
-        sb2 = stack_scale(cols2, img_buf2) if self.msc else sb1
+        w1s = [r[3] for r in size_rows]
+        w2s = [r[5] for r in size_rows]
+        sb1 = stack_scale(cols1, img_buf1, w1s)
+        sb2 = stack_scale(cols2, img_buf2, w2s) if self.msc else sb1
         size_cols = np.ascontiguousarray(np.asarray(size_rows, np.int32).T)
         sizes = EvalSizes(*(jnp.asarray(c) for c in size_cols))
         presents = np.stack(presents)
@@ -231,7 +243,8 @@ class Evaluator:
             crf: bool = False,
             crf_impl: str = "native",
             save_dir: Optional[str] = None,
-            logits_dir: Optional[str] = None) -> Dict[str, Dict]:
+            logits_dir: Optional[str] = None,
+            return_hists: bool = False) -> Dict[str, Dict]:
         """``crf_impl``: 'native' runs the exact permutohedral C++ lattice
         per image on the host (reference parity, utils/dcrf.py); 'jax' runs
         the approximate on-device mean field batched over the canvas —
@@ -386,4 +399,6 @@ class Evaluator:
         }
         if post is not None or crf_jax is not None:
             out["crf_seg"] = metrics.scores(h_crf)
+        if return_hists:
+            out["hists"] = {"seg": h_single, "msc_seg": h_msc, "cam": h_cam}
         return out

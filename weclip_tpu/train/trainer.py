@@ -190,7 +190,7 @@ def train(cfg: Config, resume: bool = False,
                 log.info("saved %s", path)
             if val_dataset is not None:
                 scores = validate(cfg, state.params, frozen, clip_params,
-                                  val_dataset, policy)
+                                  val_dataset, policy, mesh=mesh)
                 log.info("val seg: %s", scores["seg"])
                 log.info("val cam: %s", scores["cam"])
                 val_forward_calls += len(val_dataset)
@@ -203,12 +203,24 @@ def train(cfg: Config, resume: bool = False,
 
 
 def validate(cfg: Config, params, frozen, clip_params, val_dataset, policy,
-             max_images: Optional[int] = None):
+             max_images: Optional[int] = None, mesh=None):
     """Training-time validation (dist_clip_voc.py:71-102): original-size
-    single-scale 'val' forward with cam + seg scores."""
+    single-scale 'val' forward with cam + seg scores.
+
+    ``mesh``: shard the val batches over its data axis (params/frozen are
+    assumed already replicated on it, as the train loop keeps them)."""
     from weclip_tpu.evalx.runner import Evaluator, make_prep
+    if mesh is not None:
+        n = mesh.shape[mesh.axis_names[0]]
+        if n > 1:
+            bsz = ((cfg.eval.batch_images + n - 1) // n) * n
+            cfg = dataclasses.replace(
+                cfg, eval=dataclasses.replace(cfg.eval, batch_images=bsz))
+        else:
+            mesh = None
     max_ori = 512 if cfg.dataset.name == "voc" else 640
     prep = make_prep(cfg, max_ori=max_ori, resize_long=None)
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
-    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=False)
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=False,
+                   mesh=mesh)
     return ev.run(params, frozen, val_dataset, max_images=max_images)
