@@ -130,7 +130,10 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     w_pad = _round_up(w, _LANE)
     # lane dim must stay 128-aligned for Mosaic; halo is d on the left
     wp = _round_up(2 * d + w_pad, _LANE)
-    hp = h + 2 * d
+    # the sublane roll (tpu.dynamic_rotate on dim 1) needs an 8-aligned
+    # extent; rolling by (d+dy) <= 2d never wraps past h+2d, so bottom
+    # padding rows are never read and the 8-alignment pad is semantics-free
+    hp = _round_up(h + 2 * d, 8)
     if aff.shape[-1] != w_pad:
         aff = jnp.pad(aff, [(0, 0), (0, 0), (0, 0), (0, w_pad - w)])
     aff = aff.astype(compute_dtype)
@@ -174,7 +177,7 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
         m0, aff_i = args
 
         def one_iter(m, _):
-            m_pad = jnp.pad(m, [(0, 0), (d, d), (d, wp - d - w)],
+            m_pad = jnp.pad(m, [(0, 0), (d, hp - h - d), (d, wp - d - w)],
                             mode="edge").astype(compute_dtype)
             return step(dys, dxs, m_pad, aff_i)[:, :, :w], None
 
