@@ -144,22 +144,22 @@ def cam_single(method: str, visual_params, logit_scale, x11, text_features,
     return _finish(_WEIGHTED[method](acts, grads, valid), valid)
 
 
-def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
-              valid, class_idx, cfg: ClipConfig,
-              policy: precision.Policy = precision.DEFAULT,
-              top_channels: int = 32):
-    """ScoreCAM (score_cam.py): re-score the model with activation-masked
-    inputs; channels are ranked by activation energy and the top-k scored
-    (the upstream scores all channels — prohibitive at 768; top-k keeps the
-    method available at sane cost)."""
+def _perturb_setup(visual_params, logit_scale, x11, text_features, text_mask,
+                   valid, cfg, policy, top_channels):
+    """Shared plumbing for the perturbation CAMs: ln_1 activations, the
+    re-scoring closure, and the channel set (all D channels when
+    ``top_channels`` is None, else the top-k by activation energy)."""
     block11 = jax.tree_util.tree_map(lambda a: a[cfg.vision_layers - 1],
                                      visual_params["blocks"])
     p = {"ln_post": visual_params["ln_post"], "proj": visual_params["proj"],
          "logit_scale": logit_scale}
     a0 = vit.layer_norm(x11, block11["ln_1"]["g"], block11["ln_1"]["b"])
 
-    energy = jnp.sum(jnp.abs(a0[1:]), axis=0)
-    top = jnp.argsort(-energy)[:top_channels]
+    if top_channels is None:
+        chans = jnp.arange(a0.shape[1], dtype=jnp.int32)
+    else:
+        energy = jnp.sum(jnp.abs(a0[1:]), axis=0)
+        chans = jnp.argsort(-energy)[:top_channels]
 
     def probs_of(a):
         x_out, _ = vit.block_forward_from_ln1(
@@ -167,40 +167,64 @@ def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
             valid=valid[None], policy=policy)
         return _image_text_probs(p, x_out[0], text_features, text_mask,
                                  valid, policy)
+
+    return a0, chans, probs_of
+
+
+def _chunked_scores(fn, chans: jax.Array, chunk: int = 32) -> jax.Array:
+    """vmap(fn) over channels in lax.map'd chunks: full-channel runs (768
+    forwards) stay within memory instead of materializing one giant vmap."""
+    n = chans.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    padded = jnp.pad(chans, (0, n_pad - n))
+    groups = padded.reshape(n_pad // chunk, chunk)
+    out = jax.lax.map(lambda g: jax.vmap(fn)(g), groups)
+    return out.reshape(n_pad, -1)[:n]
+
+
+def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
+              valid, class_idx, cfg: ClipConfig,
+              policy: precision.Policy = precision.DEFAULT,
+              top_channels: int | None = None):
+    """ScoreCAM (score_cam.py surface): re-score the model with
+    activation-masked inputs, softmax the class scores into channel weights.
+
+    The upstream class cannot run against the reference's list-input CLIP
+    (score_cam.py:31 does input_tensor.shape on a list — proven in
+    tests/test_cam_variants_na.py), so this is a TPU-native adaptation: the
+    perturbation applies to the GradCAM target layer's activation space
+    (ln_1 of block 11) rather than the image.  Default scores ALL channels
+    like the upstream loop; ``top_channels`` is the flagged fast mode
+    (energy-ranked top-k)."""
+    a0, chans, probs_of = _perturb_setup(
+        visual_params, logit_scale, x11, text_features, text_mask, valid,
+        cfg, policy, top_channels)
 
     def channel_score(d):
         m = a0[:, d]
         m = (m - m.min()) / (m.max() - m.min() + 1e-7)
         return probs_of(a0 * m[:, None])
 
-    scores = jax.vmap(channel_score)(top)                 # (K, T)
+    scores = _chunked_scores(channel_score, chans)        # (K, T)
     w = jax.nn.softmax(scores[:, class_idx], axis=0)      # (K, C)
-    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, top])
+    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, chans])
     return _finish(cam, valid)
 
 
 def ablation_cam(visual_params, logit_scale, x11, text_features, text_mask,
                  valid, class_idx, cfg: ClipConfig,
                  policy: precision.Policy = precision.DEFAULT,
-                 top_channels: int = 32):
-    """AblationCAM (ablation_cam.py): weight = (score - score_with_channel
-    zeroed) / score; channels ranked by activation energy and the top-k
-    ablated (same cost control as score_cam)."""
-    block11 = jax.tree_util.tree_map(lambda a: a[cfg.vision_layers - 1],
-                                     visual_params["blocks"])
-    p = {"ln_post": visual_params["ln_post"], "proj": visual_params["proj"],
-         "logit_scale": logit_scale}
-    a0 = vit.layer_norm(x11, block11["ln_1"]["g"], block11["ln_1"]["b"])
+                 top_channels: int | None = None):
+    """AblationCAM (ablation_cam.py surface): weight = (score - score with
+    the channel zeroed) / score.
 
-    energy = jnp.sum(jnp.abs(a0[1:]), axis=0)
-    top = jnp.argsort(-energy)[:top_channels]
-
-    def probs_of(a):
-        x_out, _ = vit.block_forward_from_ln1(
-            block11, x11[None], a[None], cfg.vision_heads,
-            valid=valid[None], policy=policy)
-        return _image_text_probs(p, x_out[0], text_features, text_mask,
-                                 valid, policy)
+    Same adaptation story as :func:`score_cam` (the upstream class crashes
+    on the list-input CLIP — tests/test_cam_variants_na.py): ablation
+    happens in the target layer's activation space; all channels by
+    default, energy-ranked top-k via ``top_channels``."""
+    a0, chans, probs_of = _perturb_setup(
+        visual_params, logit_scale, x11, text_features, text_mask, valid,
+        cfg, policy, top_channels)
 
     base = probs_of(a0)                                   # (T,)
 
@@ -208,7 +232,7 @@ def ablation_cam(visual_params, logit_scale, x11, text_features, text_mask,
         mask = jnp.ones((a0.shape[1],)).at[d].set(0.0)
         return probs_of(a0 * mask[None, :])
 
-    abl = jax.vmap(ablated)(top)                          # (K, T)
+    abl = _chunked_scores(ablated, chans)                 # (K, T)
     w = ((base[None, :] - abl) / (base[None, :] + 1e-7))[:, class_idx]  # (K,C)
-    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, top])
+    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, chans])
     return _finish(cam, valid)
