@@ -89,15 +89,19 @@ def main():
                                    cam_labels, labels, sizes, hists)
         return ps, pm, hists
 
-    # warmup (compile)
+    # warmup (compile).  NOTE: jax.block_until_ready is a NO-OP over the
+    # axon tunnel — only a host read forces execution, so the timing
+    # barrier is an np.asarray of the hist chain (which depends on every
+    # round's scale1+scale2+combine).
     ps, pm, hists = one_round(hists)
-    jax.block_until_ready(ps)
+    np.asarray(hists[0])
 
     rounds = 6
     t0 = time.perf_counter()
     for _ in range(rounds):
         ps, pm, hists = one_round(hists)
-    jax.block_until_ready(ps)
+    np.asarray(hists[0])
+    np.asarray(ps)
     dt = time.perf_counter() - t0
 
     n_dev = max(jax.device_count(), 1)

@@ -57,6 +57,28 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-7)
 
 
+def test_model_axis_4x2_matches_single_device():
+    """Load-test the reserved ``model`` mesh axis: a (data=4, model=2) mesh
+    with replicated parameters and the batch sharded over ``data`` only must
+    reproduce the 1-device step bit-for-tolerance, proving the axis is live
+    scaffolding (params replicated across ``model`` shards correctly) and not
+    decoration."""
+    assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+    cfg = tiny.tiny_config()
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = _batch8(cfg, clip_params)
+
+    loss_1, params_1 = _run(cfg, frozen, batch, shard_mesh=None)
+    mesh = meshlib.make_mesh(data_parallel=4, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    loss_42, params_42 = _run(cfg, frozen, batch, shard_mesh=mesh)
+
+    np.testing.assert_allclose(loss_1, loss_42, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                    jax.tree_util.tree_leaves(params_42)):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-7)
+
+
 def test_metric_hist_allgather():
     """Eval histograms accumulate identically when batches are sharded."""
     from weclip_tpu.evalx.metrics import confusion_update, zero_hist
