@@ -47,17 +47,18 @@ def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, band_ref,
     """One Jacobi update; the accumulator (out_ref) is always fp32, while
     masks/aff/band may be bf16 (the opt-in speed mode — halves the roll and
     stream traffic at ~1e-3 relative error per iteration)."""
-    k = pl.program_id(1)
+    k = pl.program_id(2)
     dy = dys_ref[k]
     dx = dxs_ref[k]
 
     # dynamic shifts as rolls + static aligned slices (Mosaic cannot prove
     # alignment of dynamic slice offsets; rolls have no such constraint).
     # Shifts arrive sorted by dy, and the row-rolled band persists in scratch
-    # across grid steps: 13 distinct row rolls instead of 48.
+    # across grid steps: 13 distinct row rolls instead of 48.  k==0 also
+    # resets the band whenever the (batch, channel-tile) block changes.
     @pl.when((k == 0) | (dy != last_dy_ref[0]))
     def _():
-        src = masks_ref[...]                              # (CT, Hp, Wp)
+        src = masks_ref[0]                                # (CT, Hp, Wp)
         hp = src.shape[1]
         band_ref[...] = pltpu.roll(src, (-(d + dy)) % hp, 1)[:, 0:h, :]
         last_dy_ref[0] = dy
@@ -65,15 +66,15 @@ def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, band_ref,
     wp = band_ref.shape[2]
     shifted = pltpu.roll(band_ref[...], (-(d + dx)) % wp, 2)[:, :, 0:w_pad]
     contrib = (shifted.astype(jnp.float32)
-               * aff_ref[0][None].astype(jnp.float32))
+               * aff_ref[0, 0][None].astype(jnp.float32))
 
     @pl.when(k == 0)
     def _():
-        out_ref[...] = contrib
+        out_ref[0] = contrib
 
     @pl.when(k > 0)
     def _():
-        out_ref[...] += contrib
+        out_ref[0] += contrib
 
 
 def _pick_c_tile(c: int, max_tile: int = 10) -> int:
@@ -140,17 +141,22 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(cp // c_tile, n_k),
+        # batch OUTERMOST: one kernel launch covers the whole batch per
+        # Jacobi iteration.  The earlier lax.map-over-batch design issued
+        # B x num_iter pallas calls; measured at bench shapes the kernel
+        # itself is ~0.15 ms/iter/image while the per-call XLA glue
+        # (dispatch + per-image pad/crop) dominated ~4x over compute.
+        grid=(b, cp // c_tile, n_k),
         in_specs=[
-            pl.BlockSpec((c_tile, hp, wp),
-                         lambda ci, ki, dys, dxs: (ci, 0, 0),
+            pl.BlockSpec((1, c_tile, hp, wp),
+                         lambda bi, ci, ki, dys, dxs: (bi, ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w_pad),
-                         lambda ci, ki, dys, dxs: (ki, 0, 0),
+            pl.BlockSpec((1, 1, h, w_pad),
+                         lambda bi, ci, ki, dys, dxs: (bi, ki, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c_tile, h, w_pad),
-                               lambda ci, ki, dys, dxs: (ci, 0, 0),
+        out_specs=pl.BlockSpec((1, c_tile, h, w_pad),
+                               lambda bi, ci, ki, dys, dxs: (bi, ci, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((c_tile, h, wp), compute_dtype),   # row-rolled band
@@ -160,7 +166,7 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     step = pl.pallas_call(
         functools.partial(_step_kernel, d=d, h=h, w_pad=w_pad, n_k=n_k),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cp, h, w_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, cp, h, w_pad), jnp.float32),
         # v5e has 128MB physical VMEM; the default 16MB scoped limit forces
         # tiny channel tiles (more grid steps + one affinity re-stream per
         # tile). Raise it so a whole compacted channel set fits in one tile.
@@ -171,18 +177,12 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     # the true image occupies cols [0, w); anything to the right of it in
     # the padded output is recomputed from replication each iteration, so
     # cropping to w before re-padding keeps replicate semantics exact.
-    # lax.map over the batch keeps per-call buffers small (XLA stack-
-    # allocates pallas outputs; full-batch calls OOM its vmem stack).
-    def one_image(args):
-        m0, aff_i = args
+    def one_iter(m, _):
+        m_pad = jnp.pad(m, [(0, 0), (0, 0), (d, hp - h - d),
+                            (d, wp - d - w)],
+                        mode="edge").astype(compute_dtype)
+        return step(dys, dxs, m_pad, aff)[..., :w], None
 
-        def one_iter(m, _):
-            m_pad = jnp.pad(m, [(0, 0), (d, hp - h - d), (d, wp - d - w)],
-                            mode="edge").astype(compute_dtype)
-            return step(dys, dxs, m_pad, aff_i)[:, :, :w], None
-
-        out, _ = jax.lax.scan(one_iter, m0, None, length=cfg.num_iter)
-        return out
-
-    out = jax.lax.map(one_image, (masks.astype(jnp.float32), aff))
+    out, _ = jax.lax.scan(one_iter, masks.astype(jnp.float32), None,
+                          length=cfg.num_iter)
     return out[:, :c]
