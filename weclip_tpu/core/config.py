@@ -30,6 +30,11 @@ class DatasetConfig:
     # the CLIP stats are present-but-commented upstream).
     mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
     std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    # Optional pre-decoded image/label cache (no reference counterpart —
+    # torch DataLoader(num_workers=10) hides decode cost behind processes,
+    # which GIL-bound threads on a 1-core TPU host cannot; see
+    # tools/measure_host_pipeline.py and data/voc.py::VOCBase).
+    decoded_cache_dir: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -63,7 +63,8 @@ class CocoClsDataset(CocoBase):
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         name = self.names[idx]
-        image = self.read_image(name).astype(np.float32)
+        # uint8 through scale/flip/crop (see voc.py): float math post-crop only
+        image = np.asarray(self.read_image(name))
         image = transforms.random_scaling(image, self.cfg.rescale_range, rng=self.rng)
         image = transforms.random_fliplr(image, rng=self.rng)
         image, img_box = transforms.random_crop(

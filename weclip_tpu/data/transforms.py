@@ -28,11 +28,18 @@ def normalize_img(img: np.ndarray,
 
 def rescale(image: np.ndarray, scale: float,
             label: Optional[np.ndarray] = None):
-    """PIL bilinear image / nearest label rescale (transforms.py:35-51)."""
+    """PIL bilinear image / nearest label rescale (transforms.py:35-51).
+
+    uint8 stays uint8 (values identical to the reference's float output —
+    PIL resizes in uint8 either way; keeping bytes until the post-crop
+    normalize quarters the host pipeline's memory traffic, see
+    tools/measure_host_pipeline.py); float input keeps float32 out."""
     h, w = image.shape[:2]
     new_size = (int(scale * w), int(scale * h))
-    im = Image.fromarray(image.astype(np.uint8)).resize(new_size, Image.BILINEAR)
-    im = np.asarray(im).astype(np.float32)
+    src = image if image.dtype == np.uint8 else image.astype(np.uint8)
+    im = np.asarray(Image.fromarray(src).resize(new_size, Image.BILINEAR))
+    if image.dtype != np.uint8:
+        im = im.astype(np.float32)
     if label is None:
         return im
     lb = Image.fromarray(label).resize(new_size, Image.NEAREST)
@@ -67,7 +74,8 @@ def random_crop(image: np.ndarray, crop_size: int,
     r = rng or random
     h, w = image.shape[:2]
     big_h, big_w = max(crop_size, h), max(crop_size, w)
-    pad_img = np.zeros((big_h, big_w, 3), np.float32)
+    pad_img = np.zeros((big_h, big_w, 3),
+                       image.dtype if image.dtype == np.uint8 else np.float32)
     # pad offsets must come from the SAME seeded rng as the crop offsets,
     # or VOCClsDataset(seed=...) determinism silently breaks
     h_pad = r.randrange(0, big_h - h + 1)

@@ -49,25 +49,46 @@ def class_set_from_label(label: np.ndarray, num_fg: int) -> np.ndarray:
 
 
 class VOCBase:
-    def __init__(self, cfg: DatasetConfig, split: str):
+    def __init__(self, cfg: DatasetConfig, split: str,
+                 cache_dir: Optional[str] = None):
         self.cfg = cfg
         self.split = split
         self.img_dir = os.path.join(cfg.root_dir, "JPEGImages")
         self.label_dir = os.path.join(cfg.root_dir, "SegmentationClassAug")
         self.names = load_name_list(os.path.join(cfg.name_list_dir, split + ".txt"))
         self.cls_labels = load_cls_labels(cfg.name_list_dir)
+        # Pre-decoded cache (TPU hosts are few-core: Python JPEG decode in
+        # GIL-bound prefetch threads can bottleneck the 1-core axon host —
+        # see tools/measure_host_pipeline.py).  First touch decodes and
+        # writes {name}.npy / {name}_lab.npy; later epochs mmap them.
+        self.cache_dir = cache_dir or getattr(cfg, "decoded_cache_dir", None)
+        if self.cache_dir:
+            os.makedirs(self.cache_dir, exist_ok=True)
 
     def __len__(self):
         return len(self.names)
 
     def read_image(self, name: str) -> np.ndarray:
+        if self.cache_dir:
+            p = os.path.join(self.cache_dir, name + ".npy")
+            if os.path.exists(p):
+                return np.load(p, mmap_mode="r")
         img = np.asarray(Image.open(os.path.join(self.img_dir, name + ".jpg")).convert("RGB"))
+        if self.cache_dir:
+            np.save(os.path.join(self.cache_dir, name + ".npy"), img)
         return img
 
     def read_label(self, name: str) -> np.ndarray:
+        if self.cache_dir:
+            pc = os.path.join(self.cache_dir, name + "_lab.npy")
+            if os.path.exists(pc):
+                return np.load(pc, mmap_mode="r")
         p = os.path.join(self.label_dir, name + ".png")
         if os.path.exists(p):
-            return np.asarray(Image.open(p))
+            lab = np.asarray(Image.open(p))
+            if self.cache_dir:
+                np.save(os.path.join(self.cache_dir, name + "_lab.npy"), lab)
+            return lab
         # label-free split (VOC test: images only, datasets/voc/test.txt):
         # an all-ignore label keeps the histograms empty while prediction
         # saving still works at the original resolution
@@ -87,7 +108,9 @@ class VOCClsDataset(VOCBase):
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         name = self.names[idx]
-        image = self.read_image(name).astype(np.float32)
+        # stay uint8 through scale/flip/crop; normalize_img casts after the
+        # crop so the float work happens on crop_size^2, not full-res pixels
+        image = np.asarray(self.read_image(name))
         image = transforms.random_scaling(image, self.cfg.rescale_range, rng=self.rng)
         image = transforms.random_fliplr(image, rng=self.rng)
         image, img_box = transforms.random_crop(
