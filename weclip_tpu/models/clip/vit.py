@@ -59,10 +59,15 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 def mlp_forward(p: Params, x: jax.Array, policy: precision.Policy) -> jax.Array:
     cd = policy.compute_dtype
-    h = jnp.einsum("bld,ed->ble", x.astype(cd), p["fc_w"].astype(cd),
-                   preferred_element_type=jnp.float32) + p["fc_b"].astype(jnp.float32)
+    # matmuls accumulate fp32 on the MXU (preferred_element_type); the
+    # *materialized* hidden activations live in the compute dtype so the
+    # gelu/bias VPU passes stream half the bytes under bf16 (the reference
+    # runs this entire block in fp16, clip/model.py:186-188)
+    h = (jnp.einsum("bld,ed->ble", x.astype(cd), p["fc_w"].astype(cd),
+                    preferred_element_type=jnp.float32)
+         + p["fc_b"].astype(jnp.float32)).astype(cd)
     h = quick_gelu(h)
-    y = jnp.einsum("ble,de->bld", h.astype(cd), p["proj_w"].astype(cd),
+    y = jnp.einsum("ble,de->bld", h, p["proj_w"].astype(cd),
                    preferred_element_type=jnp.float32) + p["proj_b"].astype(jnp.float32)
     return y.astype(x.dtype)
 
@@ -181,7 +186,7 @@ def grid_valid_mask(gh: jax.Array, gw: jax.Array, pad_gh: int, pad_gw: int) -> j
 class VisionFeatures(NamedTuple):
     """Per-layer products of the frozen 11-block forward
     (reference require_all_fts=True, clip/model.py:225-243)."""
-    layer_tokens: jax.Array      # (11, B, L, D) fp32
+    layer_tokens: jax.Array      # (11, B, L, D) policy compute dtype
     layer_attn: jax.Array        # (keep_attn, B, L, L) fp32, last layers kept
     valid: jax.Array             # (B, L) bool
 
@@ -215,6 +220,11 @@ def vision_forward_frozen(
     x = x + pos_emb.astype(jnp.float32)
     x = layer_norm(x, params["ln_pre"]["g"], params["ln_pre"]["b"])
     x = jnp.where(valid[..., None], x, 0.0)
+    # the residual stream runs in the policy compute dtype: the reference
+    # CLIP is end-to-end fp16 (clip.load model.half()), so a bf16 stream is
+    # the faithful TPU equivalent and halves every LN/residual VPU pass and
+    # the per-layer token export traffic.  FP32 policies are unchanged.
+    x = x.astype(policy.compute_dtype)
 
     n_frozen = cfg.vision_layers - 1
     blocks = params["blocks"]

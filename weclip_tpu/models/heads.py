@@ -125,8 +125,10 @@ def fuse_forward(p: Params, layer_tokens: jax.Array,
     Returns fused (B, P, embed) fp32.
     """
     cd = policy.compute_dtype
-    x = layer_tokens.astype(jnp.float32)
-    h = jnp.einsum("lbpd,led->lbpe", x.astype(cd), p["proj1_w"].astype(cd),
+    # tokens go straight into the cd einsum (no fp32 staging copy of the
+    # full (L,B,P,D) stack); accumulation stays fp32 on the MXU
+    h = jnp.einsum("lbpd,led->lbpe", layer_tokens.astype(cd),
+                   p["proj1_w"].astype(cd),
                    preferred_element_type=jnp.float32) + p["proj1_b"][:, None, None]
     h = jax.nn.relu(h)
     h = jnp.einsum("lbpe,lfe->lbpf", h.astype(cd), p["proj2_w"].astype(cd),

@@ -59,17 +59,19 @@ def mha_with_weights(
 
     cd = policy.compute_dtype
     xc = x.astype(cd)
-    qkv = jnp.einsum("bld,ed->ble", xc, p.in_w.astype(cd),
-                     preferred_element_type=jnp.float32)
-    qkv = qkv + p.in_b.astype(jnp.float32)
+    # qkv materializes in the compute dtype (fp32 MXU accumulation kept);
+    # the fp32 islands below (softmax, score accumulation) are unchanged
+    qkv = (jnp.einsum("bld,ed->ble", xc, p.in_w.astype(cd),
+                      preferred_element_type=jnp.float32)
+           + p.in_b.astype(jnp.float32)).astype(cd)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     # scale q by 1/sqrt(head_dim) before the score matmul (myAtt.py:54)
-    q = (q * (hd ** -0.5)).reshape(b, l, n_heads, hd)
+    q = (q * jnp.asarray(hd ** -0.5, cd)).reshape(b, l, n_heads, hd)
     k = k.reshape(b, l, n_heads, hd)
     v = v.reshape(b, l, n_heads, hd)
 
-    scores = jnp.einsum("bqhe,bkhe->bhqk", q.astype(cd), k.astype(cd),
+    scores = jnp.einsum("bqhe,bkhe->bhqk", q, k,
                         preferred_element_type=jnp.float32)
     if attn_bias is not None:
         scores = scores + attn_bias.astype(jnp.float32)

@@ -171,9 +171,10 @@ def mha_with_weights_pallas(
     hd = d // n_heads
     cd = policy.compute_dtype
     xc = x.astype(cd)
-    qkv = jnp.einsum("bld,ed->ble", xc, p.in_w.astype(cd),
-                     preferred_element_type=jnp.float32)
-    qkv = qkv + p.in_b.astype(jnp.float32)
+    # qkv materializes in the compute dtype (fp32 MXU accumulation kept)
+    qkv = (jnp.einsum("bld,ed->ble", xc, p.in_w.astype(cd),
+                      preferred_element_type=jnp.float32)
+           + p.in_b.astype(jnp.float32)).astype(cd)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
