@@ -86,3 +86,28 @@ def test_full_vision_forward_matches_torch(rng):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(feats.layer_attn), t_attns,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_vision_forward_no_attn_export():
+    """with_attn=False must produce identical tokens and an empty
+    (0, B, L, L) attention stack (the seg-only export-free path used by
+    eval scale-2 and the val short-circuit)."""
+    rng = np.random.default_rng(5)
+    cfg = tiny.tiny_config()
+    params = vit.init_vision_params(jax.random.PRNGKey(3), cfg.clip)
+
+    b, hw = 2, 64
+    img = jnp.asarray(rng.standard_normal((b, 3, hw, hw)), jnp.float32)
+    g = hw // 16
+    l = g * g + 1
+    pe = vit.build_pos_emb(params, g, g)[None]
+    valid = jnp.ones((b, l), bool)
+
+    full = vit.vision_forward_frozen(params, img, pe, valid, cfg.clip,
+                                     policy=precision.FP32)
+    lean = vit.vision_forward_frozen(params, img, pe, valid, cfg.clip,
+                                     policy=precision.FP32, with_attn=False)
+    np.testing.assert_allclose(np.asarray(lean.layer_tokens),
+                               np.asarray(full.layer_tokens),
+                               rtol=1e-6, atol=1e-6)
+    assert lean.layer_attn.shape == (0, b, l, l)

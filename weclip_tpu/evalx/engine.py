@@ -143,7 +143,8 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
             present_mask=jnp.concatenate([present_mask, present_mask]),
         )
         feats, head_out, attn_pred, _ = weclip.backbone_and_heads(
-            params, frozen, batch2, cfg, None, policy)
+            params, frozen, batch2, cfg, None, policy,
+            with_attn=with_cam)       # seg-only mode skips the map export
 
         k = cfg.dataset.num_classes
         seg = head_out.seg.reshape(2 * b, g, g, k).transpose(0, 3, 1, 2)
@@ -230,7 +231,7 @@ def make_eval_scale2(cfg: Config, policy: precision.Policy = precision.DEFAULT):
             present_mask=jnp.concatenate([present_mask, present_mask]),
         )
         _, head_out, _, _ = weclip.backbone_and_heads(
-            params, frozen, batch2, cfg, None, policy)
+            params, frozen, batch2, cfg, None, policy, with_attn=False)
         k = cfg.dataset.num_classes
         seg = head_out.seg.reshape(2 * b, g, g, k).transpose(0, 3, 1, 2)
         seg_fl = jax.vmap(lambda x, w: _flip_valid(x, w, 2))(seg[b:], sb.gw)

@@ -80,21 +80,24 @@ def block_forward(
     attn_bias: Optional[jax.Array] = None,
     policy: precision.Policy = precision.DEFAULT,
     allow_pallas: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    want_attn: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array], jax.Array]:
     """Pre-LN residual attention block (clip/model.py:191-214).
 
     Returns (x_out, head_mean_attn (B,L,L), ln1_out) — ln1_out is exposed
     because GradCAM hooks the reference at exactly this tensor
     (model_attn_aff_voc.py:84, activations_and_gradients.py:11-37).
     ``allow_pallas`` selects the fused Pallas attention for gradient-free
-    callers (the frozen backbone).
+    callers (the frozen backbone); ``want_attn=False`` skips the map export
+    (returns None in its place).
     """
     a = layer_norm(x, p["ln_1"]["g"], p["ln_1"]["b"])
     mha = MhaParams(p["attn"]["in_w"], p["attn"]["in_b"],
                     p["attn"]["out_w"], p["attn"]["out_b"])
     attn_out, attn_w = mha_auto(a, mha, n_heads, valid=valid,
                                 attn_bias=attn_bias, policy=policy,
-                                allow_pallas=allow_pallas)
+                                allow_pallas=allow_pallas,
+                                want_weights=want_attn)
     x = x + attn_out
     x = x + mlp_forward(p["mlp"], layer_norm(x, p["ln_2"]["g"], p["ln_2"]["b"]), policy)
     return x, attn_w, a
@@ -203,12 +206,18 @@ def vision_forward_frozen(
     cfg: ClipConfig,
     keep_attn: int = 11,
     policy: precision.Policy = precision.DEFAULT,
+    with_attn: bool = True,
 ) -> VisionFeatures:
     """Frozen CLIP forward over blocks 0..10 with feature/attention export.
 
     img:     (B, 3, H, W) normalized, padded to a multiple of 16.
     pos_emb: (B or 1, L, D) per-image positional embedding on the padded grid.
     valid:   (B, L) token-validity mask (CLS first).
+
+    ``with_attn=False`` (seg-only forwards: eval scale-2, the val
+    short-circuit) skips the attention-map export entirely —
+    ``VisionFeatures.layer_attn`` comes back with a zero-length leading
+    axis.
 
     Wrapped in stop_gradient by callers — the reference runs these blocks
     under torch.no_grad() (clip/model.py:228-233).
@@ -233,12 +242,19 @@ def vision_forward_frozen(
     def body(x, bp):
         # frozen region: the fused Pallas attention is safe here (no VJP)
         x, attn_w, _ = block_forward(bp, x, cfg.vision_heads, valid=valid,
-                                     policy=policy, allow_pallas=True)
-        return x, (x, attn_w)
+                                     policy=policy, allow_pallas=True,
+                                     want_attn=with_attn)
+        return x, ((x, attn_w) if with_attn else (x,))
 
-    _, (xs, attns) = jax.lax.scan(body, x, frozen)
+    if with_attn:
+        _, (xs, attns) = jax.lax.scan(body, x, frozen)
+        attns = jax.lax.stop_gradient(
+            attns[n_frozen - keep_attn:] if keep_attn < n_frozen else attns)
+    else:
+        _, (xs,) = jax.lax.scan(body, x, frozen)
+        l = x.shape[1]
+        attns = jnp.zeros((0, b, l, l), jnp.float32)
     xs = jax.lax.stop_gradient(xs)
-    attns = jax.lax.stop_gradient(attns[n_frozen - keep_attn:] if keep_attn < n_frozen else attns)
     return VisionFeatures(xs, attns, valid)
 
 

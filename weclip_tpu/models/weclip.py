@@ -63,13 +63,18 @@ def backbone_and_heads(
     cfg: Config,
     dropout_rng: Optional[jax.Array],
     policy: precision.Policy,
+    with_attn: bool = True,
 ):
     """Frozen CLIP forward + fuse/decoder/affinity heads.
+
+    ``with_attn=False`` for seg-only forwards (no CAM chain downstream):
+    the frozen forward skips the attention-map export.
 
     Returns (feats, head_out, attn_pred, valid_p)."""
     feats = vit.vision_forward_frozen(
         frozen["visual"], batch.img, batch.pos_emb, batch.valid,
-        cfg.clip, keep_attn=keep_attn_layers(cfg), policy=policy)
+        cfg.clip, keep_attn=keep_attn_layers(cfg), policy=policy,
+        with_attn=with_attn)
     layer_tokens = feats.layer_tokens[:, :, 1:, :]            # CLS dropped
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
 
@@ -208,7 +213,8 @@ def forward_train(
     Fixed crop shapes: H = W = crop_size, no padding (valid all-true).
     """
     feats, head_out, attn_pred, _ = backbone_and_heads(
-        params, frozen, batch, cfg, dropout_rng, policy)
+        params, frozen, batch, cfg, dropout_rng, policy,
+        with_attn=with_pseudo)
     h, w = batch.img.shape[-2:]
     if with_pseudo:
         cam_labels, refined = pseudo_labels(

@@ -111,13 +111,18 @@ def mha_auto(
     attn_bias: Optional[jax.Array] = None,
     policy: precision.Policy = precision.DEFAULT,
     allow_pallas: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    want_weights: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Dispatch to the Pallas fused kernel on TPU for gradient-free callers
-    (the kernel defines no VJP), the XLA op otherwise."""
+    (the kernel defines no VJP), the XLA op otherwise.  ``want_weights=False``
+    (seg-only forwards) skips the map export; the XLA path's unused
+    attn_mean is DCE'd by XLA when the caller drops it."""
     if (allow_pallas and attn_bias is None and x.shape[1] >= 256
             and jax.default_backend() == "tpu"):
         from weclip_tpu.ops.pallas_attention import mha_with_weights_pallas
         return mha_with_weights_pallas(x, p, n_heads, valid=valid,
-                                       policy=policy)
-    return mha_with_weights(x, p, n_heads, valid=valid, attn_bias=attn_bias,
-                            policy=policy)
+                                       policy=policy,
+                                       want_weights=want_weights)
+    out, attn = mha_with_weights(x, p, n_heads, valid=valid,
+                                 attn_bias=attn_bias, policy=policy)
+    return out, (attn if want_weights else None)

@@ -37,7 +37,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref, *,
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
                  n_heads: int, scale: float, score_dtype=jnp.bfloat16):
     h = pl.program_id(2)
     # bf16 score inputs with fp32 accumulation — matches the XLA path's
@@ -63,6 +63,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref, *,
     out_ref[0, 0] = jax.lax.dot_general(
         attn.astype(score_dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+
+    if attn_ref is None:        # no-export variant (seg-only forwards)
+        return
 
     @pl.when(h == 0)
     def _():
@@ -92,19 +95,25 @@ def _pick_q_tile(l: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "q_tile",
-                                              "interpret", "score_dtype"))
+                                              "interpret", "score_dtype",
+                                              "export_weights"))
 def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                           kmask: jax.Array, n_heads: int,
                           q_tile: Optional[int] = None,
                           interpret: bool = False,
-                          score_dtype=jnp.bfloat16
-                          ) -> Tuple[jax.Array, jax.Array]:
+                          score_dtype=jnp.bfloat16,
+                          export_weights: bool = True
+                          ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """q, k, v: (B, H, L, Dh) fp32;  kmask: (B, L) float {0,1}.
 
     Returns (out (B, H, L, Dh) fp32, attn_mean (B, L, L) fp32).  L is padded
     internally to a multiple of q_tile; padded keys are masked out and padded
     query rows produce garbage that callers mask (they already do: every
     consumer multiplies by the validity mask).
+
+    ``export_weights=False`` drops the attention-map output entirely
+    (attn_mean returns None): seg-only forwards (eval scale-2, the val
+    short-circuit) skip the per-head map accumulation and its HBM writes.
     """
     b, h, l, dh = q.shape
     if q_tile is None:
@@ -121,7 +130,19 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     grid = (b, lp // q_tile, h)
     scale = dh ** -0.5
 
-    out, attn = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, q_tile, dh),
+                     lambda bi, qt, hi: (bi, hi, qt, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, lp, dh), jnp.float32)]
+    if export_weights:
+        out_specs.append(pl.BlockSpec((1, q_tile, lp),
+                                      lambda bi, qt, hi: (bi, qt, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, lp, lp), jnp.float32))
+
+    res = pl.pallas_call(
         functools.partial(_attn_kernel, n_heads=h, scale=scale,
                           score_dtype=score_dtype),
         grid=grid,
@@ -139,21 +160,14 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                          lambda bi, qt, hi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, q_tile, dh),
-                         lambda bi, qt, hi: (bi, hi, qt, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_tile, lp),
-                         lambda bi, qt, hi: (bi, qt, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, lp, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b, lp, lp), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(q, k, v, kmask2)
 
+    if not export_weights:
+        return res[0][:, :, :l], None
+    out, attn = res
     return out[:, :, :l], attn[:, :l, :l]
 
 
@@ -164,7 +178,8 @@ def mha_with_weights_pallas(
     valid: Optional[jax.Array] = None,
     policy: precision.Policy = precision.DEFAULT,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    want_weights: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Drop-in replacement for ops.attention.mha_with_weights using the
     Pallas core (projections stay XLA einsums — they are single MXU matmuls)."""
     b, l, d = x.shape
@@ -185,7 +200,8 @@ def mha_with_weights_pallas(
     out, attn_mean = attention_core_pallas(heads(q), heads(k), heads(v),
                                            kmask, n_heads,
                                            interpret=interpret,
-                                           score_dtype=policy.compute_dtype)
+                                           score_dtype=policy.compute_dtype,
+                                           export_weights=want_weights)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
                      preferred_element_type=jnp.float32)
@@ -193,5 +209,6 @@ def mha_with_weights_pallas(
     if valid is not None:
         qmask = valid.astype(bool)
         out = jnp.where(qmask[..., None], out, 0.0)
-        attn_mean = jnp.where(qmask[:, :, None], attn_mean, 0.0)
+        if attn_mean is not None:
+            attn_mean = jnp.where(qmask[:, :, None], attn_mean, 0.0)
     return out.astype(x.dtype), attn_mean

@@ -55,19 +55,27 @@ def _pos_kernel(dilations: Sequence[int]) -> np.ndarray:
 
 
 def par_affinity(imgs: jax.Array, cfg: ParConfig) -> jax.Array:
-    """(B, 48, H, W) mixing weights from image appearance + position."""
+    """(B, 48, H, W) mixing weights from image appearance + position.
+
+    The neighbor statistics use one-pass moments instead of materializing
+    the (B, 3, n, H, W) neighbor stack (1.2 GB at eval shapes, re-read ~5x
+    by the naive formulation — measured 13.5 ms of the PAR prologue's
+    20 ms).  Algebraically identical to torch.std's unbiased estimator
+    (PAR.py:77); values are O(1) normalized pixels so the one-pass
+    variance is numerically safe."""
     dil = cfg.dilations
     n = 8 * len(dil)
 
-    # neighbor stack (B, 3, n, H, W) — computed once, outside the iteration
-    neigh = jnp.stack([_shift(imgs, dy, dx, d)
-                       for d in dil for (dy, dx) in _OFFSETS], axis=2)
-    center = imgs[:, :, None]
-    absdiff = jnp.abs(neigh - center)
-    # torch.std defaults to the unbiased (n-1) estimator (PAR.py:77)
-    std = jnp.std(neigh, axis=2, keepdims=True, ddof=1)       # (B,3,1,H,W)
-    aff = -((absdiff / (std + 1e-8) / cfg.w1) ** 2)
-    aff = jnp.mean(aff, axis=1, keepdims=False)               # (B,n,H,W)
+    shifted = [_shift(imgs, dy, dx, d)
+               for d in dil for (dy, dx) in _OFFSETS]         # n x (B,3,H,W)
+    s1 = sum(shifted)
+    s2 = sum(sh * sh for sh in shifted)
+    mean = s1 / n
+    var = jnp.maximum((s2 - n * mean * mean) / (n - 1), 0.0)
+    std = jnp.sqrt(var)                                       # (B,3,H,W)
+    inv = 1.0 / ((std + 1e-8) * cfg.w1)
+    aff = jnp.stack([jnp.mean(-(jnp.abs(sh - imgs) * inv) ** 2, axis=1)
+                     for sh in shifted], axis=1)              # (B,n,H,W)
     aff = jax.nn.softmax(aff, axis=1)
 
     pos = _pos_kernel(dil)                                    # (n,)
