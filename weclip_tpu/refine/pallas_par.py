@@ -6,20 +6,30 @@ refine/par.py) materializes every shifted copy in HBM — measured at 663 ms
 for a (8, 21, 512, 512) eval batch, the single hottest stage of the whole
 pipeline.
 
-Design (idiomatic Pallas pipeline):
-- grid = (batch, channel_tiles, neighbors) with the neighbor axis innermost:
-  the edge-padded masks block and the output block stay resident in VMEM
-  across all 48 neighbor steps (revisited blocks), while the per-neighbor
-  affinity slabs stream through the automatic double-buffered pipeline,
-- each grid step is a single shift-multiply-accumulate: a sublane slice for
-  the row offset, a lane roll for the column offset (Mosaic compiles rolls
-  orders of magnitude faster than unaligned lane slices),
-- one kernel invocation = one Jacobi iteration; the 20-iteration loop and
-  the edge re-padding (replicate semantics) run at the XLA level via
-  lax.scan, reusing the single compiled kernel.
+Design (fully fused — one kernel launch per PAR invocation):
+- grid = (batch, channel_tiles, num_iter, neighbors), neighbors innermost:
+  the output block (bi, ci) is *revisited* across the entire
+  (num_iter x 48) sub-grid, so each Jacobi iteration reads the previous
+  iteration's result straight out of VMEM — no XLA-level scan, no
+  per-iteration pallas launches (measured ~1.9 ms of launch+pad+crop glue
+  per iteration in the launch-per-iteration design), no host-visible
+  intermediate at all,
+- the replicate edge-padding that used to be a per-iteration XLA
+  ``jnp.pad(mode="edge")`` happens in-kernel at the start of each
+  iteration: columns via an EXACT one-hot clamp matmul on the MXU
+  (0/1 coefficients, fp32 accumulation of a single term per output — free
+  at these shapes and sidesteps Mosaic's unaligned-lane-write limits),
+  rows via statically aligned sublane broadcasts (the halo d is a multiple
+  of 8 whenever max(dilations) is),
+- each neighbor step is a shift-multiply-accumulate: dynamic sublane/lane
+  rolls (Mosaic compiles rolls orders of magnitude faster than unaligned
+  dynamic slices); shifts arrive sorted by dy so the row-rolled band in
+  scratch is reused across steps (13 distinct row rolls instead of 48),
+- the per-neighbor affinity slabs stream through the automatic
+  double-buffered pipeline.
 
-Per iteration the masks are read/written once and the affinity tensor is
-read once per channel tile — HBM traffic drops ~10x versus the XLA version.
+Per iteration the affinity tensor is read once per channel tile and the
+masks never leave VMEM.
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,25 +53,46 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _step_kernel(dys_ref, dxs_ref, masks_ref, aff_ref, out_ref, band_ref,
-                 last_dy_ref, *, d: int, h: int, w_pad: int, n_k: int):
-    """One Jacobi update; the accumulator (out_ref) is always fp32, while
-    masks/aff/band may be bf16 (the opt-in speed mode — halves the roll and
-    stream traffic at ~1e-3 relative error per iteration)."""
-    k = pl.program_id(2)
+def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
+                  pad_ref, band_ref, last_dy_ref, *,
+                  d: int, h: int, w_pad: int, compute_dtype):
+    """The whole PAR propagation for one (batch, channel-tile) block.
+
+    Grid axes: (bi, ci, it, k).  out_ref is the revisited accumulator; at
+    k == 0 it still holds the previous iteration's result (or is dead on
+    it == 0), which is re-padded into pad_ref before the neighbor sweep.
+    """
+    it = pl.program_id(2)
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        # source of this iteration: initial masks (it 0) or previous result
+        src = jnp.where(it == 0, m0_ref[0].astype(jnp.float32), out_ref[0])
+        # columns: exact replicate-clamp as a one-hot matmul (cols >= w in
+        # src are garbage accumulation lanes; cmat's zero rows drop them)
+        cols = jax.lax.dot_general(
+            src, cmat_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (CT, h, WP)
+        cols = cols.astype(compute_dtype)
+        ct, _, wp = cols.shape
+        hp = pad_ref.shape[1]
+        # rows: statically 8-aligned sublane broadcasts (d % 8 == 0)
+        top = jnp.broadcast_to(cols[:, 0:1, :], (ct, d, wp))
+        bot = jnp.broadcast_to(cols[:, h - 1:h, :], (ct, hp - h - d, wp))
+        pad_ref[...] = jnp.concatenate([top, cols, bot], axis=1)
+        last_dy_ref[0] = jnp.int32(-(1 << 30))                # force re-band
+
     dy = dys_ref[k]
     dx = dxs_ref[k]
 
-    # dynamic shifts as rolls + static aligned slices (Mosaic cannot prove
-    # alignment of dynamic slice offsets; rolls have no such constraint).
-    # Shifts arrive sorted by dy, and the row-rolled band persists in scratch
-    # across grid steps: 13 distinct row rolls instead of 48.  k==0 also
-    # resets the band whenever the (batch, channel-tile) block changes.
-    @pl.when((k == 0) | (dy != last_dy_ref[0]))
+    # dynamic shifts as rolls (Mosaic cannot prove alignment of dynamic
+    # slice offsets; rolls have no such constraint).  Shifts are sorted by
+    # dy and the row-rolled band persists in scratch across k.
+    @pl.when(dy != last_dy_ref[0])
     def _():
-        src = masks_ref[0]                                # (CT, Hp, Wp)
-        hp = src.shape[1]
-        band_ref[...] = pltpu.roll(src, (-(d + dy)) % hp, 1)[:, 0:h, :]
+        hp = pad_ref.shape[1]
+        band_ref[...] = pltpu.roll(pad_ref[...], (-(d + dy)) % hp, 1)[:, 0:h, :]
         last_dy_ref[0] = dy
 
     wp = band_ref.shape[2]
@@ -81,7 +113,7 @@ def _pick_c_tile(c: int, max_tile: int = 10) -> int:
     """Pick the channel tile that minimizes (#tiles, padded channels):
     each extra tile re-streams the whole affinity tensor from HBM, and
     channel padding is pure wasted roll/MAC work.  max_tile bounds VMEM
-    (blocks + the stack-allocated full output must fit the scoped limit)."""
+    (blocks + scratch must fit the scoped limit)."""
     best, best_ct = None, 1
     for ct in range(1, max_tile + 1):
         cp = _round_up(c, ct)
@@ -89,6 +121,14 @@ def _pick_c_tile(c: int, max_tile: int = 10) -> int:
         if best is None or key < best:
             best, best_ct = key, ct
     return best_ct
+
+
+def _clamp_matrix(w_pad: int, wp: int, d: int, w: int) -> np.ndarray:
+    """(w_pad, wp) one-hot: out[j] = src[clamp(j - d, 0, w - 1)]."""
+    m = np.zeros((w_pad, wp), np.float32)
+    for j in range(wp):
+        m[min(max(j - d, 0), w - 1), j] = 1.0
+    return m
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "c_tile", "interpret",
@@ -112,7 +152,7 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
 
     b, c, h, w = masks.shape
     assert h % 8 == 0, "pallas PAR needs 8-aligned height"
-    d = max(cfg.dilations)
+    d = _round_up(max(cfg.dilations), 8)   # halo: 8-aligned row broadcasts
     # sorted by dy so the kernel's row-band scratch is reused across steps;
     # the affinity slabs are permuted to the same order
     base_shifts = [(dy * dil, dx * dil)
@@ -131,40 +171,44 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     w_pad = _round_up(w, _LANE)
     # lane dim must stay 128-aligned for Mosaic; halo is d on the left
     wp = _round_up(2 * d + w_pad, _LANE)
-    # the sublane roll (tpu.dynamic_rotate on dim 1) needs an 8-aligned
-    # extent; rolling by (d+dy) <= 2d never wraps past h+2d, so bottom
-    # padding rows are never read and the 8-alignment pad is semantics-free
+    # sublane roll needs an 8-aligned extent; rolling by (d+dy) <= 2d never
+    # wraps past h+2d, so the 8-alignment pad rows are semantics-free
     hp = _round_up(h + 2 * d, 8)
     if aff.shape[-1] != w_pad:
         aff = jnp.pad(aff, [(0, 0), (0, 0), (0, 0), (0, w_pad - w)])
     aff = aff.astype(compute_dtype)
+    if w_pad != w:
+        # explicit zero columns: block cells outside the array are undefined
+        # (cmat's zero rows keep them out of the math either way)
+        masks = jnp.pad(masks, [(0, 0), (0, 0), (0, 0), (0, w_pad - w)])
+    cmat = jnp.asarray(_clamp_matrix(w_pad, wp, d, w))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        # batch OUTERMOST: one kernel launch covers the whole batch per
-        # Jacobi iteration.  The earlier lax.map-over-batch design issued
-        # B x num_iter pallas calls; measured at bench shapes the kernel
-        # itself is ~0.15 ms/iter/image while the per-call XLA glue
-        # (dispatch + per-image pad/crop) dominated ~4x over compute.
-        grid=(b, cp // c_tile, n_k),
+        grid=(b, cp // c_tile, cfg.num_iter, n_k),
         in_specs=[
-            pl.BlockSpec((1, c_tile, hp, wp),
-                         lambda bi, ci, ki, dys, dxs: (bi, ci, 0, 0),
+            pl.BlockSpec((1, c_tile, h, w_pad),
+                         lambda bi, ci, it, ki, dys, dxs: (bi, ci, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, h, w_pad),
-                         lambda bi, ci, ki, dys, dxs: (bi, ki, 0, 0),
+                         lambda bi, ci, it, ki, dys, dxs: (bi, ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_pad, wp),
+                         lambda bi, ci, it, ki, dys, dxs: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c_tile, h, w_pad),
-                               lambda bi, ci, ki, dys, dxs: (bi, ci, 0, 0),
+                               lambda bi, ci, it, ki, dys, dxs: (bi, ci, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((c_tile, hp, wp), compute_dtype),  # padded source
             pltpu.VMEM((c_tile, h, wp), compute_dtype),   # row-rolled band
             pltpu.SMEM((1,), jnp.int32),                  # last dy
         ],
     )
-    step = pl.pallas_call(
-        functools.partial(_step_kernel, d=d, h=h, w_pad=w_pad, n_k=n_k),
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, d=d, h=h, w_pad=w_pad,
+                          compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, cp, h, w_pad), jnp.float32),
         # v5e has 128MB physical VMEM; the default 16MB scoped limit forces
@@ -172,17 +216,6 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
         # tile). Raise it so a whole compacted channel set fits in one tile.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )
+    )(dys, dxs, masks.astype(compute_dtype), aff, cmat)
 
-    # the true image occupies cols [0, w); anything to the right of it in
-    # the padded output is recomputed from replication each iteration, so
-    # cropping to w before re-padding keeps replicate semantics exact.
-    def one_iter(m, _):
-        m_pad = jnp.pad(m, [(0, 0), (0, 0), (d, hp - h - d),
-                            (d, wp - d - w)],
-                        mode="edge").astype(compute_dtype)
-        return step(dys, dxs, m_pad, aff)[..., :w], None
-
-    out, _ = jax.lax.scan(one_iter, masks.astype(jnp.float32), None,
-                          length=cfg.num_iter)
-    return out[:, :c]
+    return out[:, :c, :, :w]
