@@ -44,3 +44,45 @@ def test_collate_strings():
                    {"name": "b", "v": np.zeros(2)}])
     assert list(out["name"]) == ["a", "b"]
     assert out["v"].shape == (2, 2)
+
+
+def test_decoded_cache_roundtrip(tmp_path):
+    """With decoded_cache_dir the dataset must produce bit-identical
+    examples (cache fill pass vs cache hit pass vs no cache)."""
+    import dataclasses
+    from PIL import Image
+    from weclip_tpu.core.config import DatasetConfig
+    from weclip_tpu.data.voc import VOCClsDataset
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClassAug").mkdir()
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    names = ["a", "b"]
+    cls = {}
+    for i, n in enumerate(names):
+        img = rng.integers(0, 255, (90, 120, 3), np.uint8)
+        Image.fromarray(img).save(root / "JPEGImages" / f"{n}.jpg", quality=95)
+        lab = np.zeros((90, 120), np.uint8)
+        lab[20:60, 30:90] = i + 1
+        Image.fromarray(lab).save(root / "SegmentationClassAug" / f"{n}.png")
+        onehot = np.zeros(20, np.uint8)
+        onehot[i] = 1
+        cls[n] = onehot
+    (lists / "train_aug.txt").write_text("\n".join(names))
+    np.save(lists / "cls_labels_onehot.npy", cls, allow_pickle=True)
+
+    cfg = DatasetConfig(root_dir=str(root), name_list_dir=str(lists),
+                        crop_size=64)
+    ccfg = dataclasses.replace(cfg, decoded_cache_dir=str(tmp_path / "dec"))
+
+    plain = VOCClsDataset(cfg, "train_aug", seed=3)
+    fill = VOCClsDataset(ccfg, "train_aug", seed=3)     # decodes + writes
+    hit = VOCClsDataset(ccfg, "train_aug", seed=3)      # reads .npy mmaps
+    for i in range(len(names)):
+        a, b, c = plain[i], fill[i], hit[i]
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["img"], c["img"])
+        np.testing.assert_array_equal(a["present_mask"], c["present_mask"])

@@ -50,6 +50,10 @@ def train_parser(default_config: str | None = None) -> argparse.ArgumentParser:
     p.add_argument("--precision", default=None, choices=["bfloat16", "float32"])
     p.add_argument("--profile", default=None, type=str, metavar="START:END",
                    help="capture a jax.profiler trace between these steps")
+    p.add_argument("--decoded_cache", default=None, type=str, metavar="DIR",
+                   help="pre-decoded .npy image/label cache directory "
+                        "(first epoch decodes and fills it; useful on "
+                        "few-core hosts, see tools/measure_host_pipeline.py)")
     return p
 
 
@@ -122,6 +126,8 @@ def apply_train_args(cfg: Config, args) -> Config:
     tr = cfg.train
     if args.crop_size:
         ds = dataclasses.replace(ds, crop_size=args.crop_size)
+    if getattr(args, "decoded_cache", None):
+        ds = dataclasses.replace(ds, decoded_cache_dir=args.decoded_cache)
     if args.radius:
         tr = dataclasses.replace(tr, radius=args.radius)
     if args.max_iters:
