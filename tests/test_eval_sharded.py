@@ -37,9 +37,12 @@ def test_sharded_eval_matches_single():
     ev_sharded = Evaluator(cfg, prep, pe, policy=precision.FP32, mesh=mesh)
     scores_sharded = ev_sharded.run(params_r, frozen_r, ds)
 
+    # rtol 1e-5: the sharded and single layouts compile to different
+    # fusion/accumulation orders, so pixel counts near argmax ties can
+    # differ by a few; the mIoU ratios agree to ~1e-6..1e-5.
     for k in ("seg", "msc_seg", "cam"):
         np.testing.assert_allclose(scores_sharded[k]["miou"],
-                                   scores_single[k]["miou"], rtol=1e-6,
+                                   scores_single[k]["miou"], rtol=1e-5,
                                    err_msg=k)
         np.testing.assert_allclose(scores_sharded[k]["pAcc"],
-                                   scores_single[k]["pAcc"], rtol=1e-6)
+                                   scores_single[k]["pAcc"], rtol=1e-5)

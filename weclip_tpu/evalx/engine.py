@@ -206,7 +206,7 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
         idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)   # compacted ids
         lut = jnp.concatenate(
             [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], 1)
-        cam_labels = jax.vmap(lambda l, ix: l[ix])(lut, idx)
+        cam_labels = weclip._lut_select(lut, idx)
         return seg_u, seg_avg, cam_labels
 
     return run

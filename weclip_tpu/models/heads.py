@@ -148,20 +148,32 @@ def fuse_forward(p: Params, layer_tokens: jax.Array,
 
 def decoder_forward(p: Params, fts: jax.Array, n_heads: int = 8,
                     valid_p: Optional[jax.Array] = None,
-                    policy: precision.Policy = precision.DEFAULT
+                    policy: precision.Policy = precision.DEFAULT,
+                    allow_pallas: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
     """3-block transformer + linear prediction (TransDecoder.py:104-125).
 
     fts: (B, P, C).  Returns (seg logits (B, P, num_classes),
-    per-layer attention (layers, B, P, P))."""
+    per-layer attention (layers, B, P, P)).
+
+    ``allow_pallas`` (gradient-free callers, i.e. eval): use the fused
+    export-free attention — the per-layer maps mirror the reference's
+    ``seg_attn_weight_list``, which no consumer reads (dead output,
+    SURVEY appendix), so eval skips materializing the (B, H, P, P) score
+    tensors; the returned stack is then zero-length."""
     x = fts
 
     def body(x, bp):
         x, attn_w, _ = vit.block_forward(bp, x, n_heads, valid=valid_p,
-                                         policy=policy)
-        return x, attn_w
+                                         policy=policy,
+                                         allow_pallas=allow_pallas,
+                                         want_attn=not allow_pallas)
+        return x, ((attn_w,) if not allow_pallas else ())
 
     x, attns = jax.lax.scan(body, x, p["blocks"])
+    attns = (attns[0] if not allow_pallas
+             else jnp.zeros((0,) + fts.shape[:2] + (fts.shape[1],),
+                            jnp.float32))
     cd = policy.compute_dtype
     seg = jnp.einsum("bpc,kc->bpk", x.astype(cd), p["pred_w"].astype(cd),
                      preferred_element_type=jnp.float32) + p["pred_b"]
@@ -171,8 +183,9 @@ def decoder_forward(p: Params, fts: jax.Array, n_heads: int = 8,
 def head_forward(p: Params, layer_tokens: jax.Array,
                  dropout_rng: Optional[jax.Array] = None,
                  valid_p: Optional[jax.Array] = None,
-                 policy: precision.Policy = precision.DEFAULT) -> HeadOutputs:
+                 policy: precision.Policy = precision.DEFAULT,
+                 allow_pallas: bool = False) -> HeadOutputs:
     fused = fuse_forward(p["fuse"], layer_tokens, dropout_rng, policy=policy)
     seg, dec_attn = decoder_forward(p["decoder"], fused, valid_p=valid_p,
-                                    policy=policy)
+                                    policy=policy, allow_pallas=allow_pallas)
     return HeadOutputs(seg, fused, dec_attn)

@@ -56,6 +56,17 @@ def keep_attn_layers(cfg: Config) -> int:
     return max(cfg.cam.attn_fuse_layers, cfg.cam.seg_trans_layers) - 1
 
 
+def _lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
+    """lut[b, idx[b, ...]] as a select-sum over the (tiny) class bucket.
+
+    XLA lowers the equivalent batched gather to a ~12 ms scalar loop at
+    canvas shapes; MC+1 vectorized compares are ~free."""
+    out = jnp.zeros(idx.shape, jnp.int32)
+    for c in range(lut.shape[1]):
+        out = jnp.where(idx == c, lut[:, c][:, None, None], out)
+    return out
+
+
 def backbone_and_heads(
     params: Dict[str, Any],
     frozen: Dict[str, Any],
@@ -98,10 +109,13 @@ def backbone_and_heads(
                                               policy=head_policy)
         head_out = heads.HeadOutputs(seg, fused, dec_attn)
     else:
+        # gradient-free callers (dropout off == eval) may fuse the decoder
+        # attention and drop its dead map export
         head_out = heads.head_forward(params["head"], layer_tokens,
                                       dropout_rng=dropout_rng,
                                       valid_p=batch.valid[:, 1:],
-                                      policy=head_policy)
+                                      policy=head_policy,
+                                      allow_pallas=dropout_rng is None)
     attn_pred = aff.gram_affinity(head_out.fused, valid_p)
     return feats, head_out, attn_pred, valid_p
 
@@ -192,7 +206,7 @@ def pseudo_labels(
     idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)
     lut = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], axis=1)
-    cam_labels = jax.vmap(lambda l, ix: l[ix])(lut, idx)
+    cam_labels = _lut_select(lut, idx)
     return cam_labels, refined
 
 

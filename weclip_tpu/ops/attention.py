@@ -60,11 +60,15 @@ def mha_with_weights(
     cd = policy.compute_dtype
     xc = x.astype(cd)
     # qkv materializes in the compute dtype (fp32 MXU accumulation kept);
-    # the fp32 islands below (softmax, score accumulation) are unchanged
-    qkv = (jnp.einsum("bld,ed->ble", xc, p.in_w.astype(cd),
+    # the fp32 islands below (softmax, score accumulation) are unchanged.
+    # Leading-axis indexing of the packed projection instead of jnp.split
+    # (the feature-axis split copied all three tensors).
+    w3 = p.in_w.reshape(3, d, d)
+    b3 = p.in_b.reshape(3, d)
+    qkv = (jnp.einsum("bld,ted->tble", xc, w3.astype(cd),
                       preferred_element_type=jnp.float32)
-           + p.in_b.astype(jnp.float32)).astype(cd)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+           + b3[:, None, None, :].astype(jnp.float32)).astype(cd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
 
     # scale q by 1/sqrt(head_dim) before the score matmul (myAtt.py:54)
     q = (q * jnp.asarray(hd ** -0.5, cd)).reshape(b, l, n_heads, hd)

@@ -186,11 +186,15 @@ def mha_with_weights_pallas(
     hd = d // n_heads
     cd = policy.compute_dtype
     xc = x.astype(cd)
-    # qkv materializes in the compute dtype (fp32 MXU accumulation kept)
-    qkv = (jnp.einsum("bld,ed->ble", xc, p.in_w.astype(cd),
+    # qkv materializes in the compute dtype (fp32 MXU accumulation kept);
+    # the packed projection is indexed on a leading axis — XLA fuses the
+    # slices, where jnp.split on the feature axis copied all three
+    w3 = p.in_w.reshape(3, d, d)
+    b3 = p.in_b.reshape(3, d)
+    qkv = (jnp.einsum("bld,ted->tble", xc, w3.astype(cd),
                       preferred_element_type=jnp.float32)
-           + p.in_b.astype(jnp.float32)).astype(cd)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+           + b3[:, None, None, :].astype(jnp.float32)).astype(cd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
 
     def heads(t):
         return t.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)

@@ -148,18 +148,19 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     if imgs.shape[-2:] != (hm, wm):
         imgs = resize_bilinear(imgs.astype(jnp.float32), hm, wm,
                                align_corners=True)
-    aff = par_affinity(imgs.astype(jnp.float32), cfg)         # (B, K, H, W)
 
     b, c, h, w = masks.shape
     assert h % 8 == 0, "pallas PAR needs 8-aligned height"
     d = _round_up(max(cfg.dilations), 8)   # halo: 8-aligned row broadcasts
     # sorted by dy so the kernel's row-band scratch is reused across steps;
-    # the affinity slabs are permuted to the same order
+    # the affinity is BUILT in that order (a post-hoc gather of the 400 MB
+    # tensor measured 2.5 ms/round)
     base_shifts = [(dy * dil, dx * dil)
                    for dil in cfg.dilations for (dy, dx) in _OFFSETS]
     perm = sorted(range(len(base_shifts)), key=lambda i: base_shifts[i])
     shifts = [base_shifts[i] for i in perm]
-    aff = aff[:, jnp.asarray(perm, jnp.int32)]
+    aff = par_affinity(imgs.astype(jnp.float32), cfg,
+                       order=tuple(perm))                     # (B, K, H, W)
     n_k = len(shifts)
     dys = jnp.asarray([s[0] for s in shifts], jnp.int32)
     dxs = jnp.asarray([s[1] for s in shifts], jnp.int32)

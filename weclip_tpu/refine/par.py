@@ -54,8 +54,13 @@ def _pos_kernel(dilations: Sequence[int]) -> np.ndarray:
     return np.asarray([p * d for d in dilations for p in _POS_DIST], np.float32)
 
 
-def par_affinity(imgs: jax.Array, cfg: ParConfig) -> jax.Array:
+def par_affinity(imgs: jax.Array, cfg: ParConfig,
+                 order: tuple = None) -> jax.Array:
     """(B, 48, H, W) mixing weights from image appearance + position.
+
+    ``order``: optional permutation of the neighbor axis applied at build
+    time (free — it reorders a python list pre-stack) so callers that want
+    a sorted shift schedule don't pay a 400 MB gather afterwards.
 
     The neighbor statistics use one-pass moments instead of materializing
     the (B, 3, n, H, W) neighbor stack (1.2 GB at eval shapes, re-read ~5x
@@ -68,6 +73,10 @@ def par_affinity(imgs: jax.Array, cfg: ParConfig) -> jax.Array:
 
     shifted = [_shift(imgs, dy, dx, d)
                for d in dil for (dy, dx) in _OFFSETS]         # n x (B,3,H,W)
+    pos = _pos_kernel(dil)                                    # (n,)
+    if order is not None:
+        shifted = [shifted[i] for i in order]
+        pos = pos[list(order)]
     s1 = sum(shifted)
     s2 = sum(sh * sh for sh in shifted)
     mean = s1 / n
@@ -78,7 +87,6 @@ def par_affinity(imgs: jax.Array, cfg: ParConfig) -> jax.Array:
                      for sh in shifted], axis=1)              # (B,n,H,W)
     aff = jax.nn.softmax(aff, axis=1)
 
-    pos = _pos_kernel(dil)                                    # (n,)
     pos_std = float(np.std(pos, ddof=1))                      # constant per config
     pos_aff = -((pos / (pos_std + 1e-8) / cfg.w1) ** 2)
     pos_aff = jax.nn.softmax(jnp.asarray(pos_aff))            # (n,)
