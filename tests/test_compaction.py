@@ -44,3 +44,20 @@ def test_pick_bucket_and_compact():
     assert ci.shape == (3, 4)
     np.testing.assert_array_equal(ci[2, :3], [2, 3, 9])
     assert ca[2].sum() == 3 and ca[1].sum() == 1
+
+
+def test_lut_select_matches_gather():
+    """weclip._lut_select (the select-sum replacement for the ~12 ms XLA
+    canvas gather) must equal the straightforward per-image lut[idx]."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from weclip_tpu.models.weclip import _lut_select
+
+    rng = np.random.default_rng(0)
+    b, mc, hw = 3, 4, 17
+    lut = jnp.asarray(rng.integers(0, 21, (b, mc + 1)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, mc + 1, (b, hw, hw)), jnp.int32)
+    want = jax.vmap(lambda l, ix: l[ix])(lut, idx)
+    got = _lut_select(lut, idx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
