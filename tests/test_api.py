@@ -1,0 +1,53 @@
+"""WeCLIPPipeline (weclip_tpu/api.py) smoke coverage — VERDICT r2 weak #3.
+
+Drives the advertised user entry point (BASELINE configs[0]) end-to-end on
+synthetic weights at tiny CLIP dims: segment (msc and single-scale) and
+pseudo_label must produce label maps of the input's shape and range.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from weclip_tpu.api import WeCLIPPipeline
+from weclip_tpu.core.config import Config
+from tests.tiny import tiny_clip_config
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    cfg = Config()    # VOC: 21 classes, matching the random-init text tables
+    cfg = dataclasses.replace(
+        cfg,
+        clip=tiny_clip_config(),
+        eval=dataclasses.replace(cfg.eval, resize_long=64, batch_images=1),
+    )
+    return WeCLIPPipeline(cfg, precision_name="float32")
+
+
+def test_segment_msc_shape_and_range(pipe):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (48, 60, 3), np.uint8)
+    out = pipe.segment(img, msc=True)
+    assert out.shape == (48, 60)
+    assert out.dtype == np.int32
+    assert out.min() >= 0 and out.max() < pipe.cfg.dataset.num_classes
+
+
+def test_segment_single_scale(pipe):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (40, 52, 3), np.uint8)
+    out = pipe.segment(img, msc=False)
+    assert out.shape == (40, 52)
+
+
+def test_pseudo_label_restricted_class_set(pipe):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    out = pipe.pseudo_label(img, class_ids=[3, 7])
+    assert out.shape == (48, 48)
+    # pseudo labels may only use background (0), the requested classes
+    # (1-indexed in label space), and the bg->last-class quirk key
+    allowed = {0, 4, 8, pipe.cfg.dataset.num_classes - 1, 255}
+    assert set(np.unique(out).tolist()) <= allowed

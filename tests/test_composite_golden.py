@@ -247,7 +247,8 @@ def build_tiny_pair(torch, tmp_path, iter_num=0, labels=None,
     return m, [n for n, _ in labels], params, frozen, cfg, imgs, present
 
 
-def _our_forward(params, frozen, cfg, imgs, present, require_seg_trans):
+def _our_forward(params, frozen, cfg, imgs, present, require_seg_trans,
+                 policy=None):
     from weclip_tpu.core import precision
     from weclip_tpu.core.compaction import compact_classes
     from weclip_tpu.models import weclip
@@ -263,7 +264,7 @@ def _our_forward(params, frozen, cfg, imgs, present, require_seg_trans):
     return weclip.forward_train(
         params, frozen, batch, cfg,
         require_seg_trans=jnp.bool_(require_seg_trans), dropout_rng=None,
-        policy=precision.FP32, cls_idx=jnp.asarray(ci),
+        policy=policy or precision.FP32, cls_idx=jnp.asarray(ci),
         cls_active=jnp.asarray(ca)), ci
 
 

@@ -34,6 +34,30 @@ def test_loader_covers_epoch_without_dupes():
     loader.close()
 
 
+class SlowToyDataset(ToyDataset):
+    """Even indices decode slowly — adversarial for worker-race ordering."""
+
+    def __getitem__(self, i):
+        import time
+        if i % 2 == 0:
+            time.sleep(0.01)
+        return super().__getitem__(i)
+
+
+def test_loader_order_deterministic_across_threads():
+    """Same seed => byte-identical batch stream, even with racing workers
+    and timing-skewed examples (VERDICT r2 #6; torch DataLoader preserves
+    order, dist_clip_voc.py:168-174)."""
+    streams = []
+    for threads in (1, 2, 4):
+        loader = PrefetchLoader(SlowToyDataset(16), batch_size=4, seed=7,
+                                num_threads=threads)
+        it = iter(loader)
+        streams.append([next(it)["idx"].tolist() for _ in range(8)])
+        loader.close()
+    assert streams[0] == streams[1] == streams[2]
+
+
 def test_loader_rejects_batch_larger_than_dataset():
     with pytest.raises(ValueError):
         PrefetchLoader(ToyDataset(3), batch_size=8)

@@ -73,3 +73,40 @@ def test_sgd_optimizer_steps():
     grads = {"w": jnp.full((3,), 2.0)}
     updates, _ = tx.update(grads, opt_state, params)
     assert float(jnp.abs(updates["w"]).sum()) > 0.0
+
+
+def test_download_checkpoint_sha256(tmp_path):
+    """sha256-verified fetch (reference clip/clip.py:44-73) on a local
+    file:// source: verified download, cached reuse, corruption rejection."""
+    import hashlib
+    from weclip_tpu.models.clip.loader import download_checkpoint
+
+    src = tmp_path / "src" / "tiny.pt"
+    src.parent.mkdir()
+    src.write_bytes(b"weclip tiny checkpoint payload")
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()
+    url = "file://" + str(src)
+    root = tmp_path / "cache"
+
+    out = download_checkpoint(url, root=str(root), expected_sha256=digest)
+    assert out == str(root / "tiny.pt")
+    assert (root / "tiny.pt").read_bytes() == src.read_bytes()
+
+    # cache hit: source may vanish, fetch still succeeds from disk
+    src.unlink()
+    assert download_checkpoint(url, root=str(root),
+                               expected_sha256=digest) == out
+
+    # digest mismatch on the cached file forces a refetch -> fails (gone)
+    (root / "tiny.pt").write_bytes(b"corrupted")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        download_checkpoint(url, root=str(root), expected_sha256=digest)
+
+
+def test_available_models_lists_vit_b16():
+    from weclip_tpu.models.clip.loader import MODEL_URLS, available_models
+    assert "ViT-B/16" in available_models()
+    # OpenAI convention: digest is the second-to-last URL path segment
+    for url in MODEL_URLS.values():
+        assert len(url.split("/")[-2]) == 64

@@ -84,9 +84,7 @@ def main():
                                  presents)
         feats = __import__("weclip_tpu.models.clip.vit", fromlist=["vit"]) \
             .vision_forward_frozen(fz["visual"], batch.img, batch.pos_emb,
-                                   batch.valid, cfg.clip,
-                                   keep_attn=weclip_mod.keep_attn_layers(cfg),
-                                   policy=policy)
+                                   batch.valid, cfg.clip, policy=policy)
         text = jnp.concatenate([fz["fg_text"], fz["bg_text"]], 0)
         tmask = jnp.concatenate(
             [presents.astype(bool),

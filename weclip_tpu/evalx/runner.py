@@ -135,6 +135,7 @@ class Evaluator:
         self._host_bufs = [None, None]
         self._inflight = [None, None]
         self._buf_flip = 0
+        self._copy_on_feed = None  # lazily: True on backends that may alias
 
     def scale1_for(self, mc: int):
         if mc not in self._scale1_cache:
@@ -157,6 +158,13 @@ class Evaluator:
         s2 = cfg.eval.scales[1] if len(cfg.eval.scales) > 1 else 0.75
 
         b = len(examples)
+        if self._copy_on_feed is None:
+            # On TPU, jnp.asarray makes a real device copy, so blocking on
+            # the transfer below is a sufficient reuse guard.  CPU backends
+            # can zero-copy alias aligned numpy buffers into jax.Arrays —
+            # there, feed a fresh copy so buffer reuse can never race a
+            # computation still reading batch i (dryrun/test paths).
+            self._copy_on_feed = jax.default_backend() != "tpu"
         flip, self._buf_flip = self._buf_flip, 1 - self._buf_flip
         bufs = self._host_bufs[flip]
         if bufs is None or bufs[0].shape[0] != b:
@@ -203,6 +211,8 @@ class Evaluator:
 
         def stack_scale(cols, img_buf, w_px):
             pe, valid, gh, gw = zip(*cols)
+            if self._copy_on_feed:
+                img_buf = np.copy(img_buf)
             # pe/valid are cached device arrays: stack on device (no host copy)
             return ScaleBatch(jnp.asarray(img_buf),
                               jnp.stack(pe),
@@ -219,7 +229,8 @@ class Evaluator:
         sizes = EvalSizes(*(jnp.asarray(c) for c in size_cols))
         presents = np.stack(presents)
         cls_idx, cls_active = self.class_compaction(presents)
-        labels_dev = jnp.asarray(lab_buf)
+        labels_dev = jnp.asarray(np.copy(lab_buf) if self._copy_on_feed
+                                 else lab_buf)
         out = (sb1, sb2, sizes, labels_dev,
                jnp.asarray(presents), jnp.asarray(cls_idx),
                jnp.asarray(cls_active))

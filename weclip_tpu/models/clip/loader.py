@@ -104,7 +104,81 @@ def params_from_state_dict(sd: Dict[str, np.ndarray],
             "logit_scale": np.asarray(sd["logit_scale"], np.float32)}
 
 
-def load_clip(path: str, base: ClipConfig = None) -> Tuple[Dict[str, Any], ClipConfig]:
+# Published OpenAI checkpoint URLs; the sha256 of each file is the
+# second-to-last URL path segment (clip/clip.py:30-41).  Only the ViT
+# entries are loadable by this (ViT-only) framework; the table mirrors the
+# full ``clip.available_models`` surface.
+MODEL_URLS = {
+    "ViT-B/32": "https://openaipublic.azureedge.net/clip/models/40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "ViT-B/16": "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+    "ViT-L/14": "https://openaipublic.azureedge.net/clip/models/b8cca3fd41ae0c99ba7e8951adf17d267cdb84cd88be6f7c2e0eca1737a03836/ViT-L-14.pt",
+    "ViT-L/14@336px": "https://openaipublic.azureedge.net/clip/models/3035c92b350959924f9f00213499208652fc7ea050643e8b385c2dac08641f02/ViT-L-14-336px.pt",
+}
+
+
+def available_models():
+    """Names accepted by ``download_checkpoint`` (clip/clip.py:91-93)."""
+    return list(MODEL_URLS)
+
+
+def download_checkpoint(name_or_url: str, root: str = None,
+                        expected_sha256: str = None) -> str:
+    """sha256-verified checkpoint fetch (reference clip/clip.py:44-73).
+
+    ``name_or_url``: a key of MODEL_URLS (e.g. "ViT-B/16") or a direct URL.
+    The expected digest defaults to the second-to-last URL path segment,
+    OpenAI's convention; pass ``expected_sha256`` explicitly for other
+    hosts.  Returns the local file path; an existing file with a matching
+    digest is reused without re-downloading.
+    """
+    import hashlib
+    import os
+    import urllib.request
+
+    url = MODEL_URLS.get(name_or_url, name_or_url)
+    root = root or os.path.expanduser("~/.cache/weclip_tpu")
+    os.makedirs(root, exist_ok=True)
+    target = os.path.join(root, os.path.basename(url))
+    digest = expected_sha256 or url.split("/")[-2]
+
+    def _file_sha256(p):
+        h = hashlib.sha256()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    if os.path.isfile(target) and _file_sha256(target) == digest:
+        return target
+    tmp = target + ".part"
+    h = hashlib.sha256()
+    with urllib.request.urlopen(url) as src, open(tmp, "wb") as out:
+        while True:
+            buf = src.read(1 << 20)
+            if not buf:
+                break
+            h.update(buf)
+            out.write(buf)
+    if h.hexdigest() != digest:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"checkpoint download from {url} failed sha256 verification "
+            f"(got {h.hexdigest()}, expected {digest})")
+    os.replace(tmp, target)
+    return target
+
+
+def load_clip(path: str, base: ClipConfig = None,
+              download_root: str = None) -> Tuple[Dict[str, Any], ClipConfig]:
+    """``path`` may be a local file, a MODEL_URLS name, or an http(s) URL —
+    the latter two are fetched via ``download_checkpoint``."""
+    import os
+    if path in MODEL_URLS or path.startswith(("http://", "https://")):
+        path = download_checkpoint(path, root=download_root)
+    elif not os.path.exists(path):
+        raise FileNotFoundError(
+            f"CLIP checkpoint {path!r} not found (pass a local file, a "
+            f"model name from {available_models()}, or a URL)")
     sd = load_torch_state_dict(path)
     cfg = infer_config(sd, base)
     return params_from_state_dict(sd, cfg), cfg

@@ -190,7 +190,8 @@ class VisionFeatures(NamedTuple):
     """Per-layer products of the frozen 11-block forward
     (reference require_all_fts=True, clip/model.py:225-243)."""
     layer_tokens: jax.Array      # (11, B, L, D) policy compute dtype
-    layer_attn: jax.Array        # (keep_attn, B, L, L) fp32, last layers kept
+    layer_attn: jax.Array        # (11 or 0, B, L, L) fp32 — full frozen stack
+                                 # (0 when with_attn=False); consumers tail-slice
     valid: jax.Array             # (B, L) bool
 
 
@@ -204,7 +205,6 @@ def vision_forward_frozen(
     pos_emb: jax.Array,
     valid: jax.Array,
     cfg: ClipConfig,
-    keep_attn: int = 11,
     policy: precision.Policy = precision.DEFAULT,
     with_attn: bool = True,
 ) -> VisionFeatures:

@@ -51,11 +51,6 @@ class ForwardOutputs(NamedTuple):
     cams_refined: jax.Array   # (B, C_fg, P) refined CAMs (pre-PAR, diagnostics)
 
 
-def keep_attn_layers(cfg: Config) -> int:
-    """How many *frozen* attention maps downstream fusion needs."""
-    return max(cfg.cam.attn_fuse_layers, cfg.cam.seg_trans_layers) - 1
-
-
 def _lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
     """lut[b, idx[b, ...]] as a select-sum over the (tiny) class bucket.
 
@@ -63,7 +58,8 @@ def _lut_select(lut: jax.Array, idx: jax.Array) -> jax.Array:
     canvas shapes; MC+1 vectorized compares are ~free."""
     out = jnp.zeros(idx.shape, jnp.int32)
     for c in range(lut.shape[1]):
-        out = jnp.where(idx == c, lut[:, c][:, None, None], out)
+        sel = lut[:, c].reshape((-1,) + (1,) * (idx.ndim - 1))
+        out = jnp.where(idx == c, sel, out)
     return out
 
 
@@ -84,8 +80,7 @@ def backbone_and_heads(
     Returns (feats, head_out, attn_pred, valid_p)."""
     feats = vit.vision_forward_frozen(
         frozen["visual"], batch.img, batch.pos_emb, batch.valid,
-        cfg.clip, keep_attn=keep_attn_layers(cfg), policy=policy,
-        with_attn=with_attn)
+        cfg.clip, policy=policy, with_attn=with_attn)
     layer_tokens = feats.layer_tokens[:, :, 1:, :]            # CLS dropped
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
 
