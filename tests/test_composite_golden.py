@@ -67,9 +67,13 @@ def cpu_cuda(monkeypatch):
 def _head_params_from_torch(fuse_mod, dec_mod):
     """Transplant reference SegFormerHead + DecoderTransformer weights into
     our stacked head param tree (weclip_tpu/models/heads.py layout)."""
-    sdf = {k: np.asarray(v.detach().numpy(), np.float32)
+    # .copy(): same-dtype np.asarray of .numpy() is a VIEW of torch storage,
+    # and CPU JAX zero-copy aliases numpy buffers — without the copy, later
+    # torch optimizer steps would silently mutate "our" params (bit us in
+    # the lockstep golden scouting)
+    sdf = {k: np.asarray(v.detach().numpy(), np.float32).copy()
            for k, v in fuse_mod.state_dict().items()}
-    sdd = {k: np.asarray(v.detach().numpy(), np.float32)
+    sdd = {k: np.asarray(v.detach().numpy(), np.float32).copy()
            for k, v in dec_mod.state_dict().items()}
     nl = fuse_mod.indexes
     fuse = {
@@ -134,15 +138,18 @@ def present_from_label(lab, num_fg=NUM_FG):
 
 
 def build_tiny_pair(torch, tmp_path, iter_num=0, labels=None,
-                    dataset="voc"):
-    """One tiny random model, realized twice: the reference WeCLIP torch
-    module and our (params, frozen, cfg) with the SAME weights.
+                    dataset="voc", vit_width=VIT_W, embed=EMBED,
+                    vision_layers=12, text_width=64, clip_embed_dim=32):
+    """One random model, realized twice: the reference WeCLIP torch module
+    and our (params, frozen, cfg) with the SAME weights.
 
     ``labels``: list of (name, (oh, ow) uint8 label array) written as the
     SegmentationClassAug PNGs that drive the reference's class sets.
     ``dataset``: 'voc' (model_attn_aff_voc) or 'coco' (model_attn_aff_coco:
     80 fg classes, SegmentationClass/train label dir, 0.7 bbox threshold,
     10-layer seg-trans window, 40k gate).
+    ``vit_width``/``embed``: default tiny dims; pass 768/256 for the
+    full-ViT-B/16-dimension golden.
 
     Returns (ref_model, img_names, params, frozen, cfg, imgs, present).
     """
@@ -160,15 +167,17 @@ def build_tiny_pair(torch, tmp_path, iter_num=0, labels=None,
 
     num_fg = 80 if dataset == "coco" else NUM_FG
 
-    clip_model = CLIP(embed_dim=32, image_resolution=224, vision_layers=12,
-                      vision_width=VIT_W, vision_patch_size=16,
-                      context_length=16, vocab_size=64, transformer_width=64,
+    clip_model = CLIP(embed_dim=clip_embed_dim, image_resolution=224,
+                      vision_layers=vision_layers,
+                      vision_width=vit_width, vision_patch_size=16,
+                      context_length=16, vocab_size=64,
+                      transformer_width=text_width,
                       transformer_heads=1, transformer_layers=2
                       ).float().eval()
 
     rng = np.random.default_rng(7)
-    fg = rng.standard_normal((num_fg, 32)).astype(np.float32)
-    bg = rng.standard_normal((NUM_BG, 32)).astype(np.float32)
+    fg = rng.standard_normal((num_fg, clip_embed_dim)).astype(np.float32)
+    bg = rng.standard_normal((NUM_BG, clip_embed_dim)).astype(np.float32)
     fg /= np.linalg.norm(fg, axis=-1, keepdims=True)
     bg /= np.linalg.norm(bg, axis=-1, keepdims=True)
 
@@ -178,13 +187,13 @@ def build_tiny_pair(torch, tmp_path, iter_num=0, labels=None,
     m = ref_mod.WeCLIP.__new__(ref_mod.WeCLIP)
     torch.nn.Module.__init__(m)
     m.num_classes = num_fg + 1
-    m.embedding_dim = EMBED
-    m.in_channels = VIT_W
+    m.embedding_dim = embed
+    m.in_channels = vit_width
     m.encoder = clip_model
     m.decoder_fts_fuse = SegFormerHead(
-        in_channels=[VIT_W] * 4, embedding_dim=EMBED,
+        in_channels=[vit_width] * 4, embedding_dim=embed,
         num_classes=num_fg + 1, index=11)
-    m.decoder = DecoderTransformer(width=EMBED, layers=3, heads=8,
+    m.decoder = DecoderTransformer(width=embed, layers=3, heads=8,
                                    output_dim=num_fg + 1)
     m.bg_text_features = torch.from_numpy(bg)
     m.fg_text_features = torch.from_numpy(fg)
@@ -221,9 +230,10 @@ def build_tiny_pair(torch, tmp_path, iter_num=0, labels=None,
     from weclip_tpu.models import weclip
     from weclip_tpu.models.clip.loader import infer_config, params_from_state_dict
 
-    sd = {k: v.float().numpy() for k, v in clip_model.state_dict().items()}
+    sd = {k: v.float().numpy().copy()
+          for k, v in clip_model.state_dict().items()}
     clip_cfg = infer_config(sd, ClipConfig())
-    clip_cfg = dataclasses.replace(clip_cfg, embedding_dim=EMBED)
+    clip_cfg = dataclasses.replace(clip_cfg, embedding_dim=embed)
     clip_params = params_from_state_dict(sd, clip_cfg)
     if dataset == "coco":
         from weclip_tpu.core.config import coco_config
@@ -268,33 +278,56 @@ def _our_forward(params, frozen, cfg, imgs, present, require_seg_trans,
         cls_active=jnp.asarray(ca)), ci
 
 
+@pytest.mark.parametrize("policy_name", ["fp32", "bf16"])
 @pytest.mark.parametrize("gated", [False, True],
                          ids=["plain_fusion", "gated_fusion"])
-def test_weclip_forward_composite(cpu_cuda, tmp_path, gated):
+def test_weclip_forward_composite(cpu_cuda, tmp_path, gated, policy_name):
     """Reference WeCLIP.forward vs our forward_train on identical weights:
     seg/attn_pred allclose, pseudo cam_labels agree at argmax level.
 
     gated=False: iter_num <= 15000 -> plain last-8 attention mean
     (clip_tool.py:172-176); gated=True: iter_num > 15000 -> learned-affinity
-    gated fusion (clip_tool.py:152-170)."""
+    gated fusion (clip_tool.py:152-170).
+
+    policy_name="bf16" runs OUR side under the SHIPPED production policy
+    (PrecisionConfig.compute_dtype default; the reference ships fp16
+    end-to-end, clip/model.py:457-478) — quantifying the parity the
+    headline bench number actually runs at (VERDICT r2 #1).  Measured
+    (tools/probe_bf16_parity.py, CPU): bf16 label agreement 0.991-0.993 vs
+    fp32's 0.9998+, seg argmax agreement 1.0 in both."""
     torch = cpu_cuda
+    from weclip_tpu.core import precision
     iter_num = 20000 if gated else 0
     (m, names, params, frozen, cfg, imgs,
      present) = build_tiny_pair(torch, tmp_path, iter_num=iter_num)
 
     seg_t, cam_labels_t, attn_pred_t = m(torch.from_numpy(imgs), names,
                                          mode="train")
+    policy = (precision.make_policy("bfloat16") if policy_name == "bf16"
+              else precision.FP32)
     out, ci = _our_forward(params, frozen, cfg, imgs, present,
-                           require_seg_trans=gated)
+                           require_seg_trans=gated, policy=policy)
 
     # seg logits: ours (B, P, K) grid-order tokens -> reference (B, K, gh, gw)
-    seg_ours = np.asarray(out.seg).reshape(2, GH, GW, NUM_FG + 1
-                                           ).transpose(0, 3, 1, 2)
-    np.testing.assert_allclose(seg_ours, seg_t.detach().numpy(),
-                               rtol=5e-2, atol=5e-3)
-    np.testing.assert_allclose(np.asarray(out.attn_pred),
-                               attn_pred_t.detach().numpy(),
-                               rtol=5e-2, atol=5e-3)
+    seg_ours = np.asarray(out.seg, np.float32).reshape(
+        2, GH, GW, NUM_FG + 1).transpose(0, 3, 1, 2)
+    seg_ref = seg_t.detach().numpy()
+    if policy_name == "fp32":
+        np.testing.assert_allclose(seg_ours, seg_ref, rtol=5e-2, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(out.attn_pred),
+                                   attn_pred_t.detach().numpy(),
+                                   rtol=5e-2, atol=5e-3)
+        label_floor = 0.98
+    else:
+        # bf16 residual stream: pin decision-level agreement + a loose
+        # numeric envelope (bf16 has an 8-bit mantissa)
+        seg_argmax_agree = float(
+            (seg_ours.argmax(1) == seg_ref.argmax(1)).mean())
+        assert seg_argmax_agree >= 0.995, seg_argmax_agree
+        np.testing.assert_allclose(np.asarray(out.attn_pred, np.float32),
+                                   attn_pred_t.detach().numpy(),
+                                   rtol=2e-1, atol=5e-2)
+        label_floor = 0.985
 
     ours_labels = np.asarray(out.cam_labels)
     ref_labels = cam_labels_t.detach().numpy()
@@ -305,7 +338,7 @@ def test_weclip_forward_composite(cpu_cuda, tmp_path, gated):
     agree = float((ours_labels == ref_labels).mean())
     # fp16 islands inside the reference attention (myAtt.py:321) mean tiny
     # drifts can flip near-tie pixels after walk+PAR+argmax
-    assert agree >= 0.98, f"pseudo-label agreement {agree:.4f}"
+    assert agree >= label_floor, f"pseudo-label agreement {agree:.4f}"
 
 
 def _coco_labels():

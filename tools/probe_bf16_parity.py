@@ -2,8 +2,14 @@
 golden setup (VERDICT r2 #1 scouting).  Run:
     python -m tools.probe_bf16_parity
 """
+import os
 import sys
 import tempfile
+
+if "--tpu" not in sys.argv:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # env var alone is NOT enough
 
 import numpy as np
 

@@ -1,0 +1,108 @@
+"""Capture a jax.profiler trace of the msc-flip eval round on the real TPU
+and print xprof framework_op_stats (the only trustworthy per-op timing on
+this box — see PARITY.md measurement rules).
+
+    python -m tools.profile_eval [--rounds 3] [--out /tmp/xprof_eval]
+"""
+import argparse
+import glob
+import os
+import sys
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/xprof_eval")
+    ap.add_argument("--top", type=int, default=45)
+    ap.add_argument("--comer", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    from weclip_tpu.core.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    from weclip_tpu.core import precision
+    from weclip_tpu.core.config import Config
+    from weclip_tpu.evalx import metrics
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+    from bench import build_state, make_examples
+
+    cfg = Config()
+    if args.comer:
+        import dataclasses
+        from weclip_tpu.core.config import ComerConfig
+        cfg = dataclasses.replace(cfg, comer=ComerConfig(enabled=True))
+    rng = np.random.default_rng(0)
+    policy = precision.make_policy("bfloat16")
+    params, frozen, clip_params = build_state(cfg, rng)
+    batch = cfg.eval.batch_images
+    prep = make_prep(cfg, max_ori=512, resize_long=cfg.eval.resize_long)
+    pe = np.asarray(clip_params["visual"]["positional_embedding"])
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
+    built = ev.build_batch(make_examples(cfg, rng, batch))
+    sb1, sb2, sizes, labels, presents, ci, ca = built
+    scale1 = ev.scale1_for(ci.shape[1])
+    k = cfg.dataset.num_classes
+    hists = (metrics.zero_hist(k),) * 3
+
+    def one_round(hists):
+        seg_single, seg_avg1, cam_labels = scale1(params, frozen, sb1,
+                                                  presents, sizes, ci, ca)
+        seg_avg2 = ev.scale2(params, frozen, sb2, presents)
+        ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
+                                   cam_labels, labels, sizes, hists)
+        return ps, hists
+
+    ps, hists = one_round(hists)          # compile
+    np.asarray(hists[0])
+    import time
+    t0 = time.perf_counter()
+    ps, hists = one_round(hists)
+    np.asarray(hists[0]); np.asarray(ps)
+    print(f"untraced round: {(time.perf_counter()-t0)*1000:.1f} ms",
+          flush=True)
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.rounds):
+            ps, hists = one_round(hists)
+        np.asarray(hists[0])
+        np.asarray(ps)
+
+    path = sorted(glob.glob(args.out + "/plugins/profile/*/*.xplane.pb"))[-1]
+    print("xplane:", path, flush=True)
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    data, _ = raw_to_tool_data.xspace_to_tool_data([path],
+                                                   "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    # data is a gviz JSON table; fall back to printing the head raw
+    import json
+    try:
+        d = json.loads(data)
+        cols = [c.get("label", c.get("id")) for c in d["cols"]]
+        rows = [[c.get("v") for c in r["c"]] for r in d["rows"]]
+        want = [i for i, c in enumerate(cols) if c in
+                ("Type", "Operation", "#Occurrences", "Avg. self-time (us)",
+                 "Total self-time (us)", "Total self-time on Device (us)",
+                 "Avg. time (us)", "Total time (us)", "TPU FLOPS utilization")]
+        print("\t".join(cols[i] for i in want))
+        try:
+            tcol = cols.index("Total self-time (us)")
+        except ValueError:
+            tcol = want[-1]
+        rows.sort(key=lambda r: -(r[tcol] or 0))
+        for r in rows[:args.top]:
+            print("\t".join(str(r[i]) for i in want))
+    except Exception as e:
+        print("parse fallback:", e)
+        print(str(data)[:4000])
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,10 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
         extra = (jnp.zeros((), jnp.int32) if extra_iter_num is None
                  else extra_iter_num)
         require_seg_trans = (state.step + 1 + extra) > cfg.train.seg_trans_start_iter
-        dropout_rng = jax.random.fold_in(rng, state.step)
+        # rng=None trains deterministically (dropout off) — used by the
+        # reference-lockstep goldens; real training always passes a key.
+        dropout_rng = (None if rng is None
+                       else jax.random.fold_in(rng, state.step))
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, frozen, batch, require_seg_trans, dropout_rng,
             cls_idx, cls_active)
