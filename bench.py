@@ -7,22 +7,31 @@ work test_msc_flip_voc.py does per image, minus the work it provably
 discards (CAMs of flipped/0.75 passes).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...,
+   "end_to_end": imgs/sec with host batch prep overlapped in-window}
+
+``value`` is the device steady-state rate (comparable across rounds);
+``end_to_end`` rotates freshly built batches through a depth-1 prefetch
+thread inside the timed window, so it includes host prep + transfers as a
+user sees them.  On this 1-vCPU axon host the end-to-end number is
+host-bound (PARITY.md "host data pipeline"); production v5e hosts
+(~112 vCPU) do not have that ceiling.
+
+--comer: additionally measures the WeCLIP+ViT-CoMer config
+(configs/voc_comer.yaml, BASELINE.json configs[3]): msc-flip eval rate and
+the batch-4/crop-320 train-step time, printed as extra JSON lines.
 
 Baseline: the reference publishes no throughput anywhere (BASELINE.md).
 A100_EST_IMGS_PER_SEC is derived from a timed run of the actual reference
-pipeline (tools/measure_reference_cpu.py: full-size reference WeCLIP, the
-exact test_msc_flip_voc.py per-image protocol, measured per-stage on a
-146.5 GFLOP/s single-thread CPU; raw numbers in
-BASELINE_cpu_measurement.json) transferred stage-by-stage to A100
-effective rates, cross-checked against the paper's published 3090
-training wall-clock.  Result: 4-13 img/s, central 5.0 — see BASELINE.md
-"A100 throughput baseline" for the full table and uncertainty band.
-The north-star target is >= 5x that (BASELINE.json): vs_baseline >= 5.0.
+pipeline (tools/measure_reference_cpu.py; BASELINE_cpu_measurement.json)
+transferred stage-by-stage to A100 effective rates: 4-13 img/s, central
+5.0 — see BASELINE.md.  North star (BASELINE.json): vs_baseline >= 5.0.
 """
 
 from __future__ import annotations
 
+import argparse
+import concurrent.futures
 import json
 import time
 
@@ -31,22 +40,30 @@ import numpy as np
 A100_EST_IMGS_PER_SEC = 5.0          # measured derivation, BASELINE.md
 
 
-def main():
+def make_examples(cfg, rng, batch):
+    """Synthetic VOC-like val examples (typical sizes, <= 500 per side)."""
+    sizes = [(375, 500), (500, 375), (333, 500), (500, 500)]
+    nfg = cfg.dataset.num_classes - 1
+    examples = []
+    for i in range(batch):
+        oh, ow = sizes[i % len(sizes)]
+        present = np.zeros(nfg, bool)
+        present[rng.integers(0, nfg)] = True
+        present[nfg - 1] = True                       # bg quirk class
+        examples.append({
+            "img_raw": rng.integers(0, 256, (oh, ow, 3)).astype(np.uint8),
+            "label": rng.integers(0, 21, (oh, ow)).astype(np.int32),
+            "present_mask": present,
+        })
+    return examples
+
+
+def build_state(cfg, rng, seed=0):
     import jax
-    from weclip_tpu.core.runtime import enable_compilation_cache
-    enable_compilation_cache()
-    from weclip_tpu.core import precision
-    from weclip_tpu.core.config import Config
-    from weclip_tpu.evalx import metrics
-    from weclip_tpu.evalx.runner import Evaluator, make_prep
     from weclip_tpu.models import weclip
     from weclip_tpu.models.clip import vit
 
-    cfg = Config()                                  # ViT-B/16, VOC, 21 classes
-    batch = cfg.eval.batch_images
-    rng = np.random.default_rng(0)
-
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(seed)
     clip_params = vit.init_clip_params(key, cfg.clip)
     nfg = cfg.dataset.num_classes - 1
     fg = rng.standard_normal((nfg, cfg.clip.embed_dim)).astype(np.float32)
@@ -55,37 +72,33 @@ def main():
     bg /= np.linalg.norm(bg, axis=-1, keepdims=True)
     frozen = weclip.build_frozen_state(clip_params, fg, bg)
     params = weclip.init_trainable_params(jax.random.fold_in(key, 1), cfg)
+    return params, frozen, clip_params
 
-    # synthetic VOC-like val set (typical size 375x500, <= 500 per side)
-    sizes = [(375, 500), (500, 375), (333, 500), (500, 500)]
-    examples = []
-    for i in range(batch):
-        oh, ow = sizes[i % len(sizes)]
-        present = np.zeros(nfg, bool)
-        present[rng.integers(0, nfg)] = True
-        present[nfg - 1] = True                       # bg quirk class
-        examples.append({
-            "img": rng.standard_normal((3, oh, ow)).astype(np.float32),
-            "label": rng.integers(0, 21, (oh, ow)).astype(np.int32),
-            "present_mask": present,
-        })
 
+def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3):
+    """Returns (device_imgs_per_sec, end_to_end_imgs_per_sec) per chip."""
+    import jax
+    from weclip_tpu.evalx import metrics
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+
+    batch = cfg.eval.batch_images
+    rng = np.random.default_rng(0)
     prep = make_prep(cfg, max_ori=512, resize_long=cfg.eval.resize_long)
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
-    policy = precision.make_policy("bfloat16")
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
 
-    (sb1, sb2, sizes, labels, presents,
-     cls_idx, cls_active) = ev.build_batch(examples)
+    ex_sets = [make_examples(cfg, rng, batch) for _ in range(3)]
+    built0 = ev.build_batch(ex_sets[0])
+    cls_idx = built0[5]
     scale1 = ev.scale1_for(cls_idx.shape[1])
     k = cfg.dataset.num_classes
-    hists = (metrics.zero_hist(k),) * 3
+    hists0 = (metrics.zero_hist(k),) * 3
 
-    def one_round(hists):
+    def one_round(built, hists):
+        sb1, sb2, sizes, labels, presents, ci, ca = built
         seg_single, seg_avg1, cam_labels = scale1(params, frozen, sb1,
-                                                  presents, sizes,
-                                                  cls_idx, cls_active)
-        seg_avg2 = ev.scale2(params, frozen, sb2, presents)
+                                                  presents, sizes, ci, ca)
+        seg_avg2 = ev.scale2(params, frozen, sb2, presents, sizes)
         ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
                                    cam_labels, labels, sizes, hists)
         return ps, pm, hists
@@ -94,30 +107,127 @@ def main():
     # axon tunnel — only a host read forces execution, so the timing
     # barrier is an np.asarray of the hist chain (which depends on every
     # round's scale1+scale2+combine).
-    ps, pm, hists = one_round(hists)
+    hists = hists0
+    ps, pm, hists = one_round(built0, hists)
     np.asarray(hists[0])
 
-    # 3 windows of 6 rounds, best window wins: single-window timings vary
-    # +-7% run-to-run from host/tunnel scheduling noise, and the minimum is
-    # the standard steady-state estimator for that noise profile.
-    rounds = 6
-    dt = float("inf")
-    for _ in range(3):
+    # device steady-state: one resident batch, best of `windows` windows
+    # (single-window timings vary +-7% from host/tunnel scheduling noise;
+    # the minimum is the standard steady-state estimator for that profile)
+    dt_dev = float("inf")
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(rounds):
-            ps, pm, hists = one_round(hists)
+            ps, pm, hists = one_round(built0, hists)
         np.asarray(hists[0])
         np.asarray(ps)
-        dt = min(dt, time.perf_counter() - t0)
+        dt_dev = min(dt_dev, time.perf_counter() - t0)
 
+    # end-to-end: fresh host batches rotate through a depth-1 prefetch
+    # thread inside the window (the Evaluator.run overlap pattern)
+    pool = concurrent.futures.ThreadPoolExecutor(1)
+    dt_e2e = float("inf")
+    for _ in range(windows):
+        built = ev.build_batch(ex_sets[0])
+        t0 = time.perf_counter()
+        fut = pool.submit(ev.build_batch, ex_sets[1 % len(ex_sets)])
+        for r in range(rounds):
+            ps, pm, hists = one_round(built, hists)
+            built = fut.result()
+            fut = pool.submit(ev.build_batch, ex_sets[(r + 2) % len(ex_sets)])
+        np.asarray(hists[0])
+        np.asarray(ps)
+        dt_e2e = min(dt_e2e, time.perf_counter() - t0)
+        fut.result()
+    pool.shutdown()
+
+    import jax
     n_dev = max(jax.device_count(), 1)
-    imgs_per_sec_per_chip = rounds * batch / dt / n_dev
+    return (rounds * batch / dt_dev / n_dev,
+            rounds * batch / dt_e2e / n_dev)
+
+
+def bench_train_step(cfg, policy, steps=8, windows=3):
+    """Train-step ms at the reference batch-4/crop-320 setup."""
+    import jax
+    import jax.numpy as jnp
+    from weclip_tpu.core import precision as prec
+    from weclip_tpu.models import weclip
+    from weclip_tpu.models.clip import vit
+    from weclip_tpu.train import step as step_mod
+
+    rng = np.random.default_rng(1)
+    params, frozen, clip_params = build_state(cfg, rng, seed=1)
+    b = cfg.train.samples_per_gpu
+    crop = cfg.dataset.crop_size
+    g = crop // cfg.clip.patch_size
+    nfg = cfg.dataset.num_classes - 1
+    present = np.zeros((b, nfg), bool)
+    present[:, 0] = present[:, 5] = present[:, nfg - 1] = True
+    batch = weclip.Batch(
+        img=jnp.asarray(rng.standard_normal((b, 3, crop, crop)), jnp.float32),
+        pos_emb=vit.build_pos_emb(clip_params["visual"], g, g)[None],
+        valid=jnp.ones((b, g * g + 1), bool),
+        gh=jnp.full((b,), g, jnp.int32), gw=jnp.full((b,), g, jnp.int32),
+        present_mask=jnp.asarray(present))
+    from weclip_tpu.core.compaction import compact_classes
+    ci, ca = compact_classes(present, 4)
+
+    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    state = step_mod.TrainState(params, tx.init(params), state.step)
+    fn = step_mod.make_train_step(cfg, tx, policy=policy)
+    key = jax.random.PRNGKey(2)
+    state, met = fn(state, frozen, batch, key, jnp.asarray(ci), jnp.asarray(ca))
+    np.asarray(met.loss)                      # compile + barrier
+    dt = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, met = fn(state, frozen, batch, key,
+                            jnp.asarray(ci), jnp.asarray(ca))
+        np.asarray(met.loss)
+        dt = min(dt, time.perf_counter() - t0)
+    return dt / steps * 1000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--comer", action="store_true",
+                    help="also bench the WeCLIP+ViT-CoMer config")
+    args = ap.parse_args()
+
+    from weclip_tpu.core.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    from weclip_tpu.core import precision
+    from weclip_tpu.core.config import Config
+
+    cfg = Config()                                  # ViT-B/16, VOC, 21 classes
+    rng = np.random.default_rng(0)
+    policy = precision.make_policy("bfloat16")
+    params, frozen, clip_params = build_state(cfg, rng)
+    dev_rate, e2e_rate = bench_eval(cfg, params, frozen, clip_params, policy)
     print(json.dumps({
         "metric": "mscflip_voc_inference_512px",
-        "value": round(imgs_per_sec_per_chip, 3),
+        "value": round(dev_rate, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_per_chip / A100_EST_IMGS_PER_SEC, 3),
+        "vs_baseline": round(dev_rate / A100_EST_IMGS_PER_SEC, 3),
+        "end_to_end": round(e2e_rate, 3),
     }))
+
+    if args.comer:
+        import dataclasses
+        from weclip_tpu.core.config import ComerConfig
+        ccfg = dataclasses.replace(cfg, comer=ComerConfig(enabled=True))
+        cparams, cfrozen, cclip = build_state(ccfg, np.random.default_rng(2))
+        cdev, ce2e = bench_eval(ccfg, cparams, cfrozen, cclip, policy)
+        print(json.dumps({
+            "metric": "mscflip_voc_comer_inference_512px",
+            "value": round(cdev, 3), "unit": "images/sec/chip",
+            "end_to_end": round(ce2e, 3)}))
+        step_ms = bench_train_step(ccfg, policy)
+        print(json.dumps({
+            "metric": "voc_comer_train_step",
+            "value": round(step_ms, 2), "unit": "ms/step(batch4_crop320)"}))
 
 
 if __name__ == "__main__":

@@ -101,9 +101,19 @@ def test_mscflip_engine_matches_reference_loop(cpu_cuda, tmp_path):
     (model, names, params, frozen, cfg, imgs,
      present) = build_tiny_pair(torch, tmp_path, labels=labels)
 
-    examples = [{"name": n, "img": im, "label": lab.astype(np.int32),
-                 "present_mask": present_from_label(lab)}
-                for (n, lab), im in zip(labels, imgs)]
+    # uint8 originals: the reference consumes the dataset-normalized float
+    # ("img"); our engine ships the raw bytes ("img_raw") and normalizes on
+    # device — same pixels on both sides
+    from weclip_tpu.data.transforms import normalize_img
+    rng = np.random.default_rng(11)
+    examples = []
+    for n, lab in labels:
+        raw = rng.integers(0, 256, lab.shape + (3,)).astype(np.uint8)
+        examples.append({"name": n,
+                         "img": normalize_img(raw).transpose(2, 0, 1),
+                         "img_raw": raw,
+                         "label": lab.astype(np.int32),
+                         "present_mask": present_from_label(lab)})
 
     h_seg, h_msc, h_cam = _ref_validate(torch, model, examples)
 

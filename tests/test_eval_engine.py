@@ -24,19 +24,23 @@ PATCH = 16
 
 
 class FakeDataset:
-    """Synthetic 'original-size' images + labels."""
+    """Synthetic 'original-size' uint8 images + labels.  ``img`` is the
+    dataset-normalized float view (what the reference model consumes);
+    ``img_raw`` is what the engine ships to device and normalizes there."""
 
     def __init__(self, cfg, sizes, seed=0):
+        from weclip_tpu.data.transforms import normalize_img
         rng = np.random.default_rng(seed)
         self.examples = []
         nfg = cfg.dataset.num_classes - 1
         for oh, ow in sizes:
-            img = rng.standard_normal((3, oh, ow)).astype(np.float32)
+            raw = rng.integers(0, 256, (oh, ow, 3)).astype(np.uint8)
+            img = normalize_img(raw).transpose(2, 0, 1)
             label = rng.integers(0, cfg.dataset.num_classes, (oh, ow)).astype(np.int32)
             present = np.zeros(nfg, bool)
             present[0] = True
             present[nfg - 1] = True
-            self.examples.append({"img": img, "label": label,
+            self.examples.append({"img": img, "img_raw": raw, "label": label,
                                   "present_mask": present})
 
     def __len__(self):
@@ -129,11 +133,18 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
 
 
 def cv2_resize(img_chw, h, w):
-    import cv2
+    """Exact-shape mirror of the engine's on-device half-pixel hat-matrix
+    resize (engine.prepare_scale1_images) — numerically the same mapping as
+    cv2.resize INTER_LINEAR, computed the same way the engine computes it."""
     if img_chw.shape[1:] == (h, w):
         return np.asarray(img_chw, np.float32)
-    return cv2.resize(np.asarray(img_chw, np.float32).transpose(1, 2, 0),
-                      (w, h), interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
+    from weclip_tpu.evalx.engine import _resize_pair
+    from weclip_tpu.evalx.operators import device_resize_matrix as drm
+    ih, iw = img_chw.shape[1:]
+    mh = drm(ih, h, h, ih)
+    mw = drm(iw, w, w, iw)
+    x = jnp.asarray(img_chw, jnp.float32)[None]
+    return np.asarray(_resize_pair(x, mh[None], mw[None])[0])
 
 
 def test_batched_engine_matches_exact():
@@ -156,7 +167,7 @@ def test_batched_engine_matches_exact():
     assert cls_idx.shape[1] == 4          # compacted bucket in play
     seg_single, seg_avg1, cam_labels = ev.scale1_for(cls_idx.shape[1])(
         params, frozen, sb1, presents, dsizes, cls_idx, cls_active)
-    seg_avg2 = ev.scale2(params, frozen, sb2, presents)
+    seg_avg2 = ev.scale2(params, frozen, sb2, presents, dsizes)
     k = cfg.dataset.num_classes
     hists = (metrics.zero_hist(k),) * 3
     pred_single, pred_msc, hists = ev.combine(seg_single, seg_avg1, seg_avg2,

@@ -54,7 +54,7 @@ def main():
     def one_round(hists):
         seg_single, seg_avg1, cam_labels = scale1(params, frozen, sb1,
                                                   presents, sizes, ci, ca)
-        seg_avg2 = ev.scale2(params, frozen, sb2, presents)
+        seg_avg2 = ev.scale2(params, frozen, sb2, presents, sizes)
         ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
                                    cam_labels, labels, sizes, hists)
         return ps, hists

@@ -84,7 +84,8 @@ class WeCLIPPipeline:
         seg_single, seg_avg1, cam_labels = scale1(
             self.params, self.frozen, sb1, presents, sizes, cls_idx, cls_active)
         if msc:
-            seg_avg2 = ev.scale2(self.params, self.frozen, sb2, presents)
+            seg_avg2 = ev.scale2(self.params, self.frozen, sb2, presents,
+                                 sizes)
         else:
             seg_avg2 = seg_avg1
         return ev, sizes, seg_single, seg_avg1, seg_avg2, cam_labels, ex

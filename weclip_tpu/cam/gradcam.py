@@ -96,16 +96,18 @@ def gradcam_single(
             block11, x11[None], a[None], cfg.vision_heads,
             valid=valid[None], policy=policy)
         probs = _image_text_probs(p, x_out[0], text_features, text_mask, valid, policy)
+        # attention map as has_aux: keeps the export OUT of the pullback
+        # graph entirely (a zero cotangent through it is not guaranteed to
+        # be eliminated by XLA); downstream consumes it under stop_gradient
         return probs, attn_w[0]
 
-    (probs, attn_last), pullback = jax.vjp(head_fn, a0)
+    probs, pullback, attn_last = jax.vjp(head_fn, a0, has_aux=True)
 
     # one softmax-probability seed per requested class
     seeds = jax.nn.one_hot(class_idx, text_features.shape[0], dtype=probs.dtype)
-    zero_attn = jnp.zeros_like(attn_last)
 
     def grad_for(seed):
-        (g,) = pullback((seed, zero_attn))
+        (g,) = pullback(seed)
         return g                                              # (L, D) grad at ln_1 out
 
     grads = jax.vmap(grad_for)(seeds)                          # (C, L, D)

@@ -72,15 +72,17 @@ def main():
                    mesh=mesh)
     num_fg = cfg.dataset.num_classes - 1
 
-    from weclip_tpu.evalx.engine import _dev_ops_cam
+    from weclip_tpu.evalx.engine import _dev_ops_cam, prepare_scale1_images
 
     @jax.jit
     def cams_for_batch(fz, sb, presents, sizes):
         # ``fz`` (the frozen CLIP tree) MUST be an argument, not a closure
         # capture — closure-captured arrays become HLO constants and the
         # ~340MB program overflows remote-compile request limits.
-        g = sb.img.shape[-1] // cfg.clip.patch_size
-        batch = weclip_mod.Batch(sb.img, sb.pos_emb, sb.valid, sb.gh, sb.gw,
+        g = prep.canvas_in1 // cfg.clip.patch_size
+        # shipped uint8 originals -> normalized resize-long canvases
+        imgs1 = prepare_scale1_images(sb.img, sizes, cfg, prep.canvas_in1)
+        batch = weclip_mod.Batch(imgs1, sb.pos_emb, sb.valid, sb.gh, sb.gw,
                                  presents)
         feats = __import__("weclip_tpu.models.clip.vit", fromlist=["vit"]) \
             .vision_forward_frozen(fz["visual"], batch.img, batch.pos_emb,

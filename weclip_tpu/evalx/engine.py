@@ -38,18 +38,25 @@ from weclip_tpu.refine.par import par_refine_auto
 
 
 class ScaleBatch(NamedTuple):
-    """Inputs for one TTA scale (padded to that scale's canvas)."""
-    img: jax.Array          # (B, 3, Hc, Wc)
+    """Inputs for one TTA scale.
+
+    ``img`` is the ORIGINAL image as uint8 on the output canvas (shared by
+    both scales — one small host->device transfer per batch); the engine
+    normalizes and resizes it to the scale's canvas on device.  The axon
+    tunnel ships ~86 MB/s: shipping resized fp32 canvases (the r2 design)
+    cost ~600 ms/round of transfer; raw uint8 originals cost ~1/6 of that.
+    """
+    img: jax.Array          # (B, 3, Co, Co) uint8 original on the out canvas
     pos_emb: jax.Array      # (B, L, D)
     valid: jax.Array        # (B, L)
     gh: jax.Array           # (B,)
     gw: jax.Array           # (B,)
-    w_px: jax.Array         # (B,) valid image width in PIXELS.  The
-    # reference flips the resized image *before* patch extraction
-    # (test_msc_flip_voc.py:68: inputs.flip(-1)); when the width is not a
-    # multiple of the patch size the flipped patch grid samples different
-    # pixels than a flipped grid would, so the flip must cover w_px
-    # columns, not gw*patch.
+    w_px: jax.Array         # (B,) valid image width in PIXELS at this
+    # scale.  The reference flips the resized image *before* patch
+    # extraction (test_msc_flip_voc.py:68: inputs.flip(-1)); when the width
+    # is not a multiple of the patch size the flipped patch grid samples
+    # different pixels than a flipped grid would, so the flip must cover
+    # w_px columns, not gw*patch.
 
 
 class EvalSizes(NamedTuple):
@@ -94,6 +101,41 @@ def _dev_ops_s2(sizes: EvalSizes, grid1: int, grid2: int, patch: int):
     return jax.vmap(per_image)(sizes.h1, sizes.w1, sizes.h2, sizes.w2)
 
 
+def prepare_scale1_images(img_u8: jax.Array, sizes: EvalSizes, cfg: Config,
+                          canvas_in1: int) -> jax.Array:
+    """uint8 originals -> normalized fp32 scale-1 canvases, on device.
+
+    Matches the reference order exactly: dataset normalization
+    (transforms.py:8-15, ImageNet stats on 0..255) THEN bilinear resize to
+    the resize-long target (test_msc_flip_voc.py:60-63, F.interpolate
+    align_corners=False == the half-pixel mapping of device_resize_matrix).
+    """
+    from weclip_tpu.evalx.operators import device_resize_matrix as drm
+    mean = jnp.asarray(cfg.dataset.mean, jnp.float32)[None, :, None, None]
+    std = jnp.asarray(cfg.dataset.std, jnp.float32)[None, :, None, None]
+    x = (img_u8.astype(jnp.float32) - mean) / std
+    canvas_out = img_u8.shape[-1]
+    mh = jax.vmap(lambda o, t: drm(o, t, canvas_in1, canvas_out))(
+        sizes.oh, sizes.h1)
+    mw = jax.vmap(lambda o, t: drm(o, t, canvas_in1, canvas_out))(
+        sizes.ow, sizes.w1)
+    return _resize_pair(x, mh, mw)
+
+
+def prepare_scale2_images(imgs1: jax.Array, sizes: EvalSizes, scale: float,
+                          canvas_in2: int) -> jax.Array:
+    """Scale-1 canvases -> 0.75-scale canvases with torch scale_factor
+    coordinate mapping (the reference resizes from the already-resized
+    tensor, test_msc_flip_voc.py:81)."""
+    from weclip_tpu.evalx.operators import device_scale_matrix as dsm
+    canvas_in1 = imgs1.shape[-1]
+    mh = jax.vmap(lambda i, o: dsm(i, o, scale, canvas_in2, canvas_in1))(
+        sizes.h1, sizes.h2)
+    mw = jax.vmap(lambda i, o: dsm(i, o, scale, canvas_in2, canvas_in1))(
+        sizes.w1, sizes.w2)
+    return _resize_pair(imgs1, mh, mw)
+
+
 def _flip_valid(x: jax.Array, w_valid: jax.Array, axis: int) -> jax.Array:
     """Horizontal flip *within* the valid region of a padded axis."""
     size = x.shape[axis]
@@ -129,13 +171,15 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
     def run(params, frozen, sb: ScaleBatch, present_mask, sizes: EvalSizes,
             cls_idx, cls_active):
         b = sb.img.shape[0]
-        g = sb.img.shape[-1] // cfg.clip.patch_size
+        g = prep.canvas_in1 // cfg.clip.patch_size
+        # uint8 originals -> normalized scale-1 canvases, on device
+        imgs1 = prepare_scale1_images(sb.img, sizes, cfg, prep.canvas_in1)
         # flip-concatenated forward (test_msc_flip_voc.py:68) — the flip
         # covers the full valid image width in pixels (see ScaleBatch.w_px)
         img_f = jax.vmap(lambda x, w: _flip_valid(x, w, 1))(
-            sb.img.transpose(0, 2, 3, 1), sb.w_px).transpose(0, 3, 1, 2)
+            imgs1.transpose(0, 2, 3, 1), sb.w_px).transpose(0, 3, 1, 2)
         batch2 = weclip.Batch(
-            img=jnp.concatenate([sb.img, img_f]),
+            img=jnp.concatenate([imgs1, img_f]),
             pos_emb=jnp.concatenate([sb.pos_emb, sb.pos_emb]),
             valid=jnp.concatenate([sb.valid, sb.valid]),
             gh=jnp.concatenate([sb.gh, sb.gh]),
@@ -144,7 +188,8 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
         )
         feats, head_out, attn_pred, _ = weclip.backbone_and_heads(
             params, frozen, batch2, cfg, None, policy,
-            with_attn=with_cam)       # seg-only mode skips the map export
+            with_attn=with_cam,       # seg-only mode skips the map export
+            attn_rows=b)              # flipped half's maps are never used
 
         k = cfg.dataset.num_classes
         seg = head_out.seg.reshape(2 * b, g, g, k).transpose(0, 3, 1, 2)
@@ -200,8 +245,8 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
         bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
         stack = jnp.concatenate([bg_score, fg_scores], axis=1)
 
-        mh_img, mw_img = _dev_ops_img(sizes, canvas_out, sb.img.shape[-1])
-        img_ori = _resize_pair(sb.img, mh_img, mw_img)
+        mh_img, mw_img = _dev_ops_img(sizes, canvas_out, prep.canvas_in1)
+        img_ori = _resize_pair(imgs1, mh_img, mw_img)
         par_out = par_refine_auto(img_ori, stack, cfg.par)
         idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)   # compacted ids
         lut = jnp.concatenate(
@@ -212,18 +257,22 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
     return run
 
 
-def make_eval_scale2(cfg: Config, policy: precision.Policy = precision.DEFAULT):
+def make_eval_scale2(cfg: Config, policy: precision.Policy = precision.DEFAULT,
+                     prep=None):
     """Seg-only flip-averaged forward for an extra TTA scale
     (test_msc_flip_voc.py:79-88)."""
+    s2 = cfg.eval.scales[1] if len(cfg.eval.scales) > 1 else 0.75
 
     @jax.jit
-    def run(params, frozen, sb: ScaleBatch, present_mask):
+    def run(params, frozen, sb: ScaleBatch, present_mask, sizes: EvalSizes):
         b = sb.img.shape[0]
-        g = sb.img.shape[-1] // cfg.clip.patch_size
+        g = prep.canvas_in2 // cfg.clip.patch_size
+        imgs1 = prepare_scale1_images(sb.img, sizes, cfg, prep.canvas_in1)
+        imgs2 = prepare_scale2_images(imgs1, sizes, s2, prep.canvas_in2)
         img_f = jax.vmap(lambda x, w: _flip_valid(x, w, 1))(
-            sb.img.transpose(0, 2, 3, 1), sb.w_px).transpose(0, 3, 1, 2)
+            imgs2.transpose(0, 2, 3, 1), sb.w_px).transpose(0, 3, 1, 2)
         batch2 = weclip.Batch(
-            img=jnp.concatenate([sb.img, img_f]),
+            img=jnp.concatenate([imgs2, img_f]),
             pos_emb=jnp.concatenate([sb.pos_emb, sb.pos_emb]),
             valid=jnp.concatenate([sb.valid, sb.valid]),
             gh=jnp.concatenate([sb.gh, sb.gh]),

@@ -136,3 +136,20 @@ class EvalOperators:
             # 0.75-scale seg grid -> scale-1 grid (test_msc_flip_voc.py:86)
             self.mh_s2 = clamp_resize_matrix(gh2, gh1, grid1, grid2)
             self.mw_s2 = clamp_resize_matrix(gw2, gw1, grid1, grid2)
+
+
+def device_scale_matrix(in_size, out_size, scale: float, canvas: int,
+                        src_pad: int):
+    """On-device clamp-resize matrix with torch's scale_factor coordinate
+    mapping (src = (dst+0.5)/s - 0.5 — see scale_factor_matrix): the
+    reference's 0.75-scale TTA input (test_msc_flip_voc.py:81) derives from
+    the already-resized scale-1 tensor through the ORIGINAL scale, which
+    differs from size-ratio mapping whenever in*s is fractional."""
+    import jax.numpy as jnp
+    in_f = jnp.asarray(in_size, jnp.float32)
+    out_f = jnp.asarray(out_size, jnp.float32)
+    r = jnp.arange(canvas, dtype=jnp.float32)
+    dst = jnp.minimum(r, out_f - 1.0)
+    src = jnp.clip((dst + 0.5) / jnp.float32(scale) - 0.5, 0.0, in_f - 1.0)
+    c = jnp.arange(src_pad, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - c[None, :]))

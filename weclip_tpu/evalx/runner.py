@@ -18,7 +18,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
-import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,34 +56,18 @@ def make_prep(cfg: Config, max_ori: int, resize_long: Optional[int]) -> EvalPrep
                     resize_long)
 
 
-def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
-                   canvas: int, patch: int, pe_table: np.ndarray,
-                   pe_cache: dict, img_out: np.ndarray,
-                   return_resized: bool = False,
-                   scale: Optional[float] = None):
-    """Resize-and-pad one (3,H,W) float image into the preallocated batch
-    slot ``img_out`` (host memcpy is expensive on small hosts — one write,
-    no stacking copies); returns (pe_dev, valid_dev, gh, gw).
+def _pe_valid_for(target_hw: Tuple[int, int], canvas: int, patch: int,
+                  pe_table: np.ndarray, pe_cache: dict):
+    """(pe_dev, valid_dev, gh, gw) for a valid (h, w) region on ``canvas``.
 
     Positional embeddings and validity masks are cached *on device* per
-    grid size, so repeated sizes cost nothing on the host."""
+    grid size, so repeated sizes cost nothing on the host.  Image pixels
+    never touch the host here — the engine normalizes/resizes the shipped
+    uint8 originals on device (engine.prepare_scale1_images)."""
     import jax.numpy as jnp
     h, w = target_hw
-    if (h, w) != img_chw.shape[1:]:
-        if scale is not None:
-            # scale_factor coordinate mapping (torch F.interpolate parity;
-            # differs from size-based mapping when in*scale is fractional)
-            from weclip_tpu.evalx.operators import resize_by_scale
-            img_chw = resize_by_scale(img_chw, (h, w), scale)
-        else:
-            img_chw = cv2.resize(
-                img_chw.transpose(1, 2, 0), (w, h),
-                interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
-    resized = img_chw
     gh, gw = h // patch, w // patch
     g = canvas // patch
-    img_out[:] = 0.0
-    img_out[:, :h, :w] = img_chw
     key = (gh, gw, g)
     cached = pe_cache.get(key)
     if cached is None:
@@ -97,8 +80,6 @@ def _scale_example(img_chw: np.ndarray, target_hw: Tuple[int, int],
         cached = (jnp.asarray(pe), jnp.asarray(valid))
         pe_cache[key] = cached
     pe, valid = cached
-    if return_resized:
-        return (pe, valid, gh, gw), resized
     return pe, valid, gh, gw
 
 
@@ -122,7 +103,7 @@ class Evaluator:
         num_fg = cfg.dataset.num_classes - 1
         self.class_buckets = tuple(b for b in class_buckets if b < num_fg) + (num_fg,)
         self._scale1_cache: dict = {}
-        self.scale2 = make_eval_scale2(cfg, policy) if msc else None
+        self.scale2 = make_eval_scale2(cfg, policy, prep=prep) if msc else None
         self.combine = make_eval_combine(cfg, msc=msc, prep=prep)
         self.msc_logits = make_msc_logits(cfg, msc=msc, prep=prep)
         self._pe_cache: dict = {}
@@ -168,53 +149,53 @@ class Evaluator:
         flip, self._buf_flip = self._buf_flip, 1 - self._buf_flip
         bufs = self._host_bufs[flip]
         if bufs is None or bufs[0].shape[0] != b:
-            bufs = (np.zeros((b, 3, prep.canvas_in1, prep.canvas_in1),
-                             np.float32),
-                    np.zeros((b, 3, prep.canvas_in2, prep.canvas_in2),
-                             np.float32),
+            bufs = (np.zeros((b, 3, prep.canvas_out, prep.canvas_out),
+                             np.uint8),
                     np.zeros((b, prep.canvas_out, prep.canvas_out), np.uint8))
             self._host_bufs[flip] = bufs
-        img_buf1, img_buf2, lab_buf = bufs
+        img_buf, lab_buf = bufs
         if self._inflight[flip] is not None:
             for arr in self._inflight[flip]:
                 arr.block_until_ready()
 
         cols1, cols2, size_rows, presents = [], [], [], []
         for j, ex in enumerate(examples):
-            img = ex["img"]
-            oh, ow = img.shape[1:]
+            raw = ex["img_raw"]                     # (H, W, 3) uint8 RGB
+            oh, ow = raw.shape[:2]
             if rl:
                 ratio = rl / max(oh, ow)
                 h1, w1 = int(oh * ratio), int(ow * ratio)
             else:
                 h1, w1 = oh, ow
-            col1, img1 = _scale_example(img, (h1, w1), prep.canvas_in1,
-                                        patch, self.pe_table, self._pe_cache,
-                                        img_buf1[j],
-                                        return_resized=True)
-            cols1.append(col1)
+            cols1.append(_pe_valid_for((h1, w1), prep.canvas_in1, patch,
+                                       self.pe_table, self._pe_cache))
             if self.msc:
                 # the reference derives the 0.75-scale input from the
                 # already-resized scale-1 tensor, not the original
                 # (test_msc_flip_voc.py:81: F.interpolate(inputs, 0.75))
                 h2, w2 = int(h1 * s2), int(w1 * s2)
-                cols2.append(_scale_example(img1, (h2, w2), prep.canvas_in2,
-                                            patch, self.pe_table,
-                                            self._pe_cache, img_buf2[j],
-                                            scale=s2))
+                cols2.append(_pe_valid_for((h2, w2), prep.canvas_in2, patch,
+                                           self.pe_table, self._pe_cache))
             else:
                 h2 = w2 = patch
             size_rows.append((oh, ow, h1, w1, h2, w2))
+            img_buf[j] = 0
+            img_buf[j, :, :oh, :ow] = raw.transpose(2, 0, 1)
             lab_buf[j] = 255
             lab_buf[j, :oh, :ow] = np.asarray(ex["label"], np.uint8)
             presents.append(ex["present_mask"])
 
-        def stack_scale(cols, img_buf, w_px):
+        # ONE uint8 original-resolution tensor shared by both scales — the
+        # engine normalizes + resizes on device.  This is the whole image
+        # transfer (~1/6 of shipping resized fp32 canvases; the axon tunnel
+        # moves ~86 MB/s, so transfer size dominates end-to-end latency).
+        img_dev = jnp.asarray(np.copy(img_buf) if self._copy_on_feed
+                              else img_buf)
+
+        def stack_scale(cols, w_px):
             pe, valid, gh, gw = zip(*cols)
-            if self._copy_on_feed:
-                img_buf = np.copy(img_buf)
             # pe/valid are cached device arrays: stack on device (no host copy)
-            return ScaleBatch(jnp.asarray(img_buf),
+            return ScaleBatch(img_dev,
                               jnp.stack(pe),
                               jnp.stack(valid),
                               jnp.asarray(np.asarray(gh, np.int32)),
@@ -223,8 +204,8 @@ class Evaluator:
 
         w1s = [r[3] for r in size_rows]
         w2s = [r[5] for r in size_rows]
-        sb1 = stack_scale(cols1, img_buf1, w1s)
-        sb2 = stack_scale(cols2, img_buf2, w2s) if self.msc else sb1
+        sb1 = stack_scale(cols1, w1s)
+        sb2 = stack_scale(cols2, w2s) if self.msc else sb1
         size_cols = np.ascontiguousarray(np.asarray(size_rows, np.int32).T)
         sizes = EvalSizes(*(jnp.asarray(c) for c in size_cols))
         presents = np.stack(presents)
@@ -312,7 +293,7 @@ class Evaluator:
             seg_single, seg_avg1, cam_labels = scale1(
                 params, frozen, sb1, presents, sizes, cls_idx, cls_active)
             if self.msc:
-                seg_avg2 = self.scale2(params, frozen, sb2, presents)
+                seg_avg2 = self.scale2(params, frozen, sb2, presents, sizes)
             else:
                 seg_avg2 = seg_avg1
             _, pred_msc, hists = self.combine(seg_single, seg_avg1, seg_avg2,

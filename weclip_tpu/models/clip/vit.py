@@ -207,6 +207,7 @@ def vision_forward_frozen(
     cfg: ClipConfig,
     policy: precision.Policy = precision.DEFAULT,
     with_attn: bool = True,
+    attn_rows: int = None,
 ) -> VisionFeatures:
     """Frozen CLIP forward over blocks 0..10 with feature/attention export.
 
@@ -218,6 +219,12 @@ def vision_forward_frozen(
     short-circuit) skips the attention-map export entirely —
     ``VisionFeatures.layer_attn`` comes back with a zero-length leading
     axis.
+
+    ``attn_rows=k`` exports maps only for the FIRST k batch rows (layer_attn
+    has leading batch size k).  The msc-flip engine runs flip-concatenated
+    batches but the pseudo-label chain only consumes the unflipped half's
+    attention (test_msc_flip_voc.py:69-71 discards the flipped CAM) — the
+    flipped half's 11x(L,L) fp32 maps are ~350 MB/round of dead HBM writes.
 
     Wrapped in stop_gradient by callers — the reference runs these blocks
     under torch.no_grad() (clip/model.py:228-233).
@@ -239,11 +246,22 @@ def vision_forward_frozen(
     blocks = params["blocks"]
     frozen = jax.tree_util.tree_map(lambda a: a[:n_frozen], blocks)
 
+    k = attn_rows if (with_attn and attn_rows is not None) else b
+
     def body(x, bp):
         # frozen region: the fused Pallas attention is safe here (no VJP)
-        x, attn_w, _ = block_forward(bp, x, cfg.vision_heads, valid=valid,
-                                     policy=policy, allow_pallas=True,
-                                     want_attn=with_attn)
+        if with_attn and k < b:
+            x1, attn_w, _ = block_forward(bp, x[:k], cfg.vision_heads,
+                                          valid=valid[:k], policy=policy,
+                                          allow_pallas=True, want_attn=True)
+            x2, _, _ = block_forward(bp, x[k:], cfg.vision_heads,
+                                     valid=valid[k:], policy=policy,
+                                     allow_pallas=True, want_attn=False)
+            x = jnp.concatenate([x1, x2], axis=0)
+        else:
+            x, attn_w, _ = block_forward(bp, x, cfg.vision_heads, valid=valid,
+                                         policy=policy, allow_pallas=True,
+                                         want_attn=with_attn)
         return x, ((x, attn_w) if with_attn else (x,))
 
     if with_attn:

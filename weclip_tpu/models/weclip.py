@@ -71,16 +71,19 @@ def backbone_and_heads(
     dropout_rng: Optional[jax.Array],
     policy: precision.Policy,
     with_attn: bool = True,
+    attn_rows: Optional[int] = None,
 ):
     """Frozen CLIP forward + fuse/decoder/affinity heads.
 
     ``with_attn=False`` for seg-only forwards (no CAM chain downstream):
-    the frozen forward skips the attention-map export.
+    the frozen forward skips the attention-map export.  ``attn_rows``
+    limits the export to the first k batch rows (msc-flip: the flipped
+    half's maps are never consumed).
 
     Returns (feats, head_out, attn_pred, valid_p)."""
     feats = vit.vision_forward_frozen(
         frozen["visual"], batch.img, batch.pos_emb, batch.valid,
-        cfg.clip, policy=policy, with_attn=with_attn)
+        cfg.clip, policy=policy, with_attn=with_attn, attn_rows=attn_rows)
     layer_tokens = feats.layer_tokens[:, :, 1:, :]            # CLS dropped
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
 
