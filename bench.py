@@ -90,17 +90,15 @@ def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3):
     ex_sets = [make_examples(cfg, rng, batch) for _ in range(3)]
     built0 = ev.build_batch(ex_sets[0])
     cls_idx = built0[5]
-    scale1 = ev.scale1_for(cls_idx.shape[1])
     k = cfg.dataset.num_classes
     hists0 = (metrics.zero_hist(k),) * 3
 
+    round_fn = ev.round_for(cls_idx.shape[1])
+
     def one_round(built, hists):
         sb1, sb2, sizes, labels, presents, ci, ca = built
-        seg_single, seg_avg1, cam_labels = scale1(params, frozen, sb1,
-                                                  presents, sizes, ci, ca)
-        seg_avg2 = ev.scale2(params, frozen, sb2, presents, sizes)
-        ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
-                                   cam_labels, labels, sizes, hists)
+        ps, pm, hists = round_fn(params, frozen, sb1, sb2, sizes, labels,
+                                 presents, ci, ca, hists)
         return ps, pm, hists
 
     # warmup (compile).  NOTE: jax.block_until_ready is a NO-OP over the

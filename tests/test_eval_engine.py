@@ -229,3 +229,33 @@ def test_runner_crf_jax_path():
     scores = ev.run(params, frozen, DS(), crf=True, crf_impl="jax")
     assert "crf_seg" in scores
     assert np.isfinite(scores["crf_seg"]["pAcc"])
+
+
+def test_fused_round_matches_separate_programs():
+    """Evaluator.round_for (one fused dispatch) must equal the three
+    separate programs bit-for-bit — it is jit-of-jit over the same fns."""
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(cfg, par=ParConfig(dilations=(1, 2), num_iter=3),
+                              eval=dataclasses.replace(cfg.eval, batch_images=2))
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    params = weclip.init_trainable_params(jax.random.PRNGKey(5), cfg)
+    ds = FakeDataset(cfg, [(40, 64), (64, 56)])
+    prep = make_prep(cfg, max_ori=64, resize_long=64)
+    pe = np.asarray(clip_params["visual"]["positional_embedding"])
+    ev = Evaluator(cfg, prep, pe, policy=precision.FP32)
+
+    built = ev.build_batch([ds[0], ds[1]])
+    sb1, sb2, dsizes, labels, presents, ci, ca = built
+    k = cfg.dataset.num_classes
+    hists = (metrics.zero_hist(k),) * 3
+    seg_single, seg_avg1, cam_labels = ev.scale1_for(ci.shape[1])(
+        params, frozen, sb1, presents, dsizes, ci, ca)
+    seg_avg2 = ev.scale2(params, frozen, sb2, presents, dsizes)
+    ps_a, pm_a, h_a = ev.combine(seg_single, seg_avg1, seg_avg2,
+                                 cam_labels, labels, dsizes, hists)
+    ps_b, pm_b, h_b = ev.round_for(ci.shape[1])(
+        params, frozen, sb1, sb2, dsizes, labels, presents, ci, ca, hists)
+    np.testing.assert_array_equal(np.asarray(ps_a), np.asarray(ps_b))
+    np.testing.assert_array_equal(np.asarray(pm_a), np.asarray(pm_b))
+    for x, y in zip(h_a, h_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

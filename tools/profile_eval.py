@@ -47,16 +47,14 @@ def main():
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
     built = ev.build_batch(make_examples(cfg, rng, batch))
     sb1, sb2, sizes, labels, presents, ci, ca = built
-    scale1 = ev.scale1_for(ci.shape[1])
     k = cfg.dataset.num_classes
     hists = (metrics.zero_hist(k),) * 3
 
+    round_fn = ev.round_for(ci.shape[1])
+
     def one_round(hists):
-        seg_single, seg_avg1, cam_labels = scale1(params, frozen, sb1,
-                                                  presents, sizes, ci, ca)
-        seg_avg2 = ev.scale2(params, frozen, sb2, presents, sizes)
-        ps, pm, hists = ev.combine(seg_single, seg_avg1, seg_avg2,
-                                   cam_labels, labels, sizes, hists)
+        ps, pm, hists = round_fn(params, frozen, sb1, sb2, sizes, labels,
+                                 presents, ci, ca, hists)
         return ps, hists
 
     ps, hists = one_round(hists)          # compile
@@ -76,32 +74,32 @@ def main():
 
     path = sorted(glob.glob(args.out + "/plugins/profile/*/*.xplane.pb"))[-1]
     print("xplane:", path, flush=True)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    print_op_stats(path, args.top, args.rounds)
+
+
+def print_op_stats(path, top=45, rounds=1):
+    """Parse an xplane.pb via the xprof package (tensorboard_plugin_profile's
+    pywrap is broken in this image) and print device ops by self-time."""
+    import json
+    from xprof.convert import raw_to_tool_data
     data, _ = raw_to_tool_data.xspace_to_tool_data([path],
                                                    "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    # data is a gviz JSON table; fall back to printing the head raw
-    import json
-    try:
-        d = json.loads(data)
-        cols = [c.get("label", c.get("id")) for c in d["cols"]]
-        rows = [[c.get("v") for c in r["c"]] for r in d["rows"]]
-        want = [i for i, c in enumerate(cols) if c in
-                ("Type", "Operation", "#Occurrences", "Avg. self-time (us)",
-                 "Total self-time (us)", "Total self-time on Device (us)",
-                 "Avg. time (us)", "Total time (us)", "TPU FLOPS utilization")]
-        print("\t".join(cols[i] for i in want))
-        try:
-            tcol = cols.index("Total self-time (us)")
-        except ValueError:
-            tcol = want[-1]
-        rows.sort(key=lambda r: -(r[tcol] or 0))
-        for r in rows[:args.top]:
-            print("\t".join(str(r[i]) for i in want))
-    except Exception as e:
-        print("parse fallback:", e)
-        print(str(data)[:4000])
+    d = json.loads(data)[0]
+    cols = [c["label"] for c in d["cols"]]
+    rows = [[c.get("v") for c in r["c"]] for r in d["rows"]]
+    rows = [r for r in rows if r[cols.index("Host/device")] == "Device"]
+    tc = cols.index("Total self-time (us)")
+    oc = cols.index("Operation Name")
+    yc = cols.index("Operation Type")
+    rows.sort(key=lambda r: -(r[tc] or 0))
+    tot = sum(r[tc] or 0 for r in rows)
+    print(f"total device self-time: {tot/1e3:.1f} ms over {rounds} rounds "
+          f"({tot/1e3/max(rounds,1):.1f} ms/round)")
+    for r in rows[:top]:
+        print(f"{(r[tc] or 0)/1e3/max(rounds,1):8.2f} ms/round  "
+              f"{str(r[yc])[:20]:20s} {str(r[oc])[:70]}")
 
 
 if __name__ == "__main__":
