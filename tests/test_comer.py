@@ -50,6 +50,52 @@ def test_comer_masked_tokens_zero():
     assert np.any(out[:, :8] != 0)
 
 
+def test_weclip_comer_multistep_training():
+    """Multi-step CoMer training evidence (VERDICT r2 #4): loss decreases
+    over coupled steps, and once the zero-init gate opens (after step 1)
+    EVERY CTI/MRFP/stem parameter receives a nonzero gradient."""
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(cfg, comer=small_comer_cfg())
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = tiny.tiny_batch(cfg, clip_params, batch=4)
+
+    from weclip_tpu.train import step as step_mod
+    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+    losses = []
+    for i in range(6):
+        state, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(9))
+        losses.append(float(metrics.loss))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
+
+    # gradient coverage at the trained point: the gate is open, so the
+    # frozen-ViT + CNN-pyramid fusion path must backprop into every leaf
+    from weclip_tpu.models import weclip as weclip_mod
+    from weclip_tpu.train import losses as loss_mod
+    import jax.numpy as jnp
+    g = cfg.dataset.crop_size // cfg.clip.patch_size
+    rmask = jnp.asarray(loss_mod.radius_mask(g, g, cfg.train.radius))
+
+    def loss_of(params):
+        out = weclip_mod.forward_train(params, frozen, batch, cfg,
+                                       require_seg_trans=jnp.bool_(False),
+                                       dropout_rng=None, policy=precision.FP32)
+        seg = out.seg.reshape(batch.img.shape[0], g, g, -1
+                              ).transpose(0, 3, 1, 2)
+        from weclip_tpu.ops.resize import resize_bilinear
+        seg_hw = resize_bilinear(seg, cfg.dataset.crop_size,
+                                 cfg.dataset.crop_size)
+        pseudo = jax.lax.stop_gradient(out.cam_labels)
+        return loss_mod.seg_loss(seg_hw, pseudo, cfg.dataset.ignore_index)
+
+    grads = jax.grad(loss_of)(state.params)["comer"]
+    flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+    zero_leaves = [jax.tree_util.keystr(k) for k, v in flat
+                   if float(jnp.abs(v).max()) == 0.0]
+    assert not zero_leaves, f"comer params with zero grad: {zero_leaves}"
+
+
 def test_weclip_comer_train_step():
     cfg = tiny.tiny_config()
     cfg = dataclasses.replace(cfg, comer=small_comer_cfg())

@@ -259,10 +259,15 @@ def comer_forward(
         v = v + vt
         vq = layer_norm_1d(v, cp["ln_q"]["g"], cp["ln_q"]["b"])
         msn = layer_norm_1d(ms, cp["ln_kv"]["g"], cp["ln_kv"]["b"])
-        # inject transformer semantics into the CNN pyramid
+        # inject transformer semantics into the CNN pyramid ("beginning of
+        # the stage"), THEN extract multi-scale detail from the UPDATED
+        # pyramid back into the ViT-aligned stream ("end of the stage") —
+        # extraction reading the pre-injection pyramid would make the last
+        # stage's injector dead computation (caught by the grad-coverage
+        # test in tests/test_comer.py)
         ms = ms + cross_attention(msn, vq, cp["inj"], cfg.cti_heads,
                                   kv_valid=valid_p, policy=policy)
-        # extract multi-scale detail back into the ViT-aligned stream
+        msn = layer_norm_1d(ms, cp["ln_kv"]["g"], cp["ln_kv"]["b"])
         v = v + cross_attention(vq, msn, cp["ext"], cfg.cti_heads,
                                 kv_valid=ms_valid, policy=policy)
 
