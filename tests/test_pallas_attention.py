@@ -39,3 +39,72 @@ def test_pallas_attention_matches_xla(rng, l, lv):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(pal_attn), np.asarray(ref_attn),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attention_core_matches_xla():
+    """Rectangular fused cross-attention (CoMer CTI) vs the XLA core, with
+    padded/masked kv rows and an all-masked kv edge case."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from weclip_tpu.models.comer import _xla_cross_core
+    from weclip_tpu.ops.pallas_attention import cross_attention_core_pallas
+
+    rng = np.random.default_rng(0)
+    b, h, lq, lk, dh = 2, 4, 70, 33, 16
+    q = jnp.asarray(rng.standard_normal((b, lq, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    kvmask = np.ones((b, lk), np.float32)
+    kvmask[0, 25:] = 0.0
+    kvmask[1, :] = 0.0                       # all-masked: rows must be 0
+    kvmask = jnp.asarray(kvmask)
+
+    ref = np.asarray(_xla_cross_core(q, k, v, kvmask, jnp.float32))
+    out = np.asarray(cross_attention_core_pallas(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), kvmask, interpret=True,
+        score_dtype=jnp.float32).transpose(0, 2, 1, 3))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    assert np.all(out[1] == 0.0)
+
+
+def test_cross_core_fused_gradients_match_xla():
+    """custom_vjp backward (XLA recompute) == grads of the XLA core."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from weclip_tpu.models import comer
+
+    rng = np.random.default_rng(1)
+    b, h, lq, lk, dh = 1, 2, 12, 9, 8
+    q = jnp.asarray(rng.standard_normal((b, lq, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    kvmask = jnp.ones((b, lk), jnp.float32).at[0, 6:].set(0.0)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(comer._xla_cross_core(q, k, v, kvmask, jnp.float32) ** 2)
+
+    # route the fused fwd through interpret mode so this runs on CPU
+    orig = comer._cross_core_fwd
+
+    def fwd_interpret(qp, kp, vp, m, cd):
+        from weclip_tpu.ops.pallas_attention import cross_attention_core_pallas
+        out = cross_attention_core_pallas(
+            qp.transpose(0, 2, 1, 3), kp.transpose(0, 2, 1, 3),
+            vp.transpose(0, 2, 1, 3), m, interpret=True, score_dtype=cd)
+        return out.transpose(0, 2, 1, 3), (qp, kp, vp, m)
+
+    comer._cross_core_fused.defvjp(fwd_interpret, comer._cross_core_bwd)
+    try:
+        def loss_fused(q, k, v):
+            return jnp.sum(comer._cross_core_fused(q, k, v, kvmask,
+                                                   jnp.float32) ** 2)
+        g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        comer._cross_core_fused.defvjp(orig, comer._cross_core_bwd)

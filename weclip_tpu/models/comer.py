@@ -29,6 +29,7 @@ All of it trains with the head parameters.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional
 
@@ -68,10 +69,65 @@ def group_norm(x: jax.Array, g: jax.Array, b: jax.Array,
     return xf * g[None, :, None, None] + b[None, :, None, None]
 
 
+def _xla_cross_core(qp: jax.Array, kp: jax.Array, vp: jax.Array,
+                    kvmask: jax.Array, cd) -> jax.Array:
+    """(B, Lq, H, hd) x (B, Lk, H, hd) -> (B, Lq, H, hd); kvmask (B, Lk)
+    float {0,1}.  qp is pre-scaled."""
+    s = jnp.einsum("bqhe,bkhe->bhqk", qp.astype(cd), kp.astype(cd),
+                   preferred_element_type=jnp.float32)
+    s = jnp.where(kvmask[:, None, None, :] > 0, s, -jnp.inf)
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    ex = jnp.exp(s - smax)
+    ex = jnp.where(kvmask[:, None, None, :] > 0, ex, 0.0)
+    attn = ex / jnp.maximum(ex.sum(-1, keepdims=True), 1e-30)
+    return jnp.einsum("bhqk,bkhe->bqhe", attn.astype(cd), vp.astype(cd),
+                      preferred_element_type=jnp.float32)
+
+
+def _pallas_cross(qp, kp, vp, kvmask, cd):
+    # fused flash-style attention: the XLA formulation materializes fp32
+    # (B, H, Lq, Lk) score tensors three times — at CTI eval shapes
+    # (Lq up to ~5.4k pyramid tokens) that was ~131 ms/round of HBM traffic
+    from weclip_tpu.ops.pallas_attention import cross_attention_core_pallas
+    out = cross_attention_core_pallas(
+        qp.transpose(0, 2, 1, 3), kp.transpose(0, 2, 1, 3),
+        vp.transpose(0, 2, 1, 3), kvmask, score_dtype=cd)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _cross_core_fused(qp, kp, vp, kvmask, cd):
+    # NOTE: the PRIMAL must be the Pallas path — custom_vjp only invokes
+    # f_fwd under differentiation; plain (eval) traces run this body
+    return _pallas_cross(qp, kp, vp, kvmask, cd)
+
+
+def _cross_core_fwd(qp, kp, vp, kvmask, cd):
+    return _pallas_cross(qp, kp, vp, kvmask, cd), (qp, kp, vp, kvmask)
+
+
+def _cross_core_bwd(cd, res, g):
+    # backward recomputes through the XLA path (exact gradients of the
+    # same math; only the training step pays it, and it already did)
+    qp, kp, vp, kvmask = res
+    _, vjp_fn = jax.vjp(
+        lambda a, b, c: _xla_cross_core(a, b, c, kvmask, cd), qp, kp, vp)
+    dq, dk, dv = vjp_fn(g)
+    return dq, dk, dv, jnp.zeros_like(kvmask)
+
+
+_cross_core_fused.defvjp(_cross_core_fwd, _cross_core_bwd)
+
+
 def cross_attention(q: jax.Array, kv: jax.Array, p: Params, n_heads: int,
                     kv_valid: Optional[jax.Array] = None,
                     policy: precision.Policy = precision.DEFAULT) -> jax.Array:
-    """Simple multi-head cross-attention (B, Lq, C) x (B, Lk, C) -> (B, Lq, C)."""
+    """Multi-head cross-attention (B, Lq, C) x (B, Lk, C) -> (B, Lq, C).
+
+    On TPU the score/softmax/value chain runs as a fused Pallas kernel
+    (custom_vjp: Pallas forward, XLA-recompute backward — CoMer trains, so
+    differentiability is required); elsewhere the plain XLA formulation."""
     cd = policy.compute_dtype
     b, lq, c = q.shape
     hd = c // n_heads
@@ -84,18 +140,13 @@ def cross_attention(q: jax.Array, kv: jax.Array, p: Params, n_heads: int,
     qp = qp.reshape(b, lq, n_heads, hd) * (hd ** -0.5)
     kp = kp.reshape(b, -1, n_heads, hd)
     vp = vp.reshape(b, -1, n_heads, hd)
-    s = jnp.einsum("bqhe,bkhe->bhqk", qp.astype(cd), kp.astype(cd),
-                   preferred_element_type=jnp.float32)
-    if kv_valid is not None:
-        s = jnp.where(kv_valid[:, None, None, :].astype(bool), s, -jnp.inf)
-    smax = jnp.max(s, axis=-1, keepdims=True)
-    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
-    ex = jnp.exp(s - smax)
-    if kv_valid is not None:
-        ex = jnp.where(kv_valid[:, None, None, :].astype(bool), ex, 0.0)
-    attn = ex / jnp.maximum(ex.sum(-1, keepdims=True), 1e-30)
-    o = jnp.einsum("bhqk,bkhe->bqhe", attn.astype(cd), vp.astype(cd),
-                   preferred_element_type=jnp.float32).reshape(b, lq, c)
+    kvmask = (kv_valid.astype(jnp.float32) if kv_valid is not None
+              else jnp.ones((b, kp.shape[1]), jnp.float32))
+    if jax.default_backend() == "tpu":
+        o = _cross_core_fused(qp, kp, vp, kvmask, cd)
+    else:
+        o = _xla_cross_core(qp, kp, vp, kvmask, cd)
+    o = o.reshape(b, lq, c)
     return jnp.einsum("blc,dc->bld", o.astype(cd), p["o_w"].astype(cd),
                       preferred_element_type=jnp.float32) + p["o_b"]
 
