@@ -69,6 +69,72 @@ def test_cross_attention_core_matches_xla():
     assert np.all(out[1] == 0.0)
 
 
+def test_attention_bwd_pallas_matches_xla_vjp():
+    """Flash-style Pallas backward vs the vjp of the XLA cross core, on
+    rectangular shapes with masked kv rows (the CoMer CTI case)."""
+    from weclip_tpu.models.comer import _xla_cross_core
+    from weclip_tpu.ops.pallas_attention import attention_bwd_pallas
+
+    rng = np.random.default_rng(2)
+    b, h, lq, lk, dh = 2, 3, 40, 27, 16
+    q = jnp.asarray(rng.standard_normal((b, lq, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, h, dh)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, lq, h, dh)), jnp.float32)
+    kvmask = jnp.ones((b, lk), jnp.float32).at[0, 20:].set(0.0)
+
+    _, vjp_fn = jax.vjp(
+        lambda a, bb, c: _xla_cross_core(a, bb, c, kvmask, jnp.float32),
+        q, k, v)
+    rq, rk, rv = vjp_fn(g)
+
+    t = lambda a: a.transpose(0, 2, 1, 3)
+    dq, dk, dv = attention_bwd_pallas(t(q), t(k), t(v), t(g), kvmask,
+                                      interpret=True,
+                                      score_dtype=jnp.float32)
+    for got, ref in ((t(dq), rq), (t(dk), rk), (t(dv), rv)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_mha_fused_gradients_match_xla():
+    """mha_with_weights_fused (Pallas fwd + Pallas flash bwd) gradients vs
+    the plain XLA mha, in the GradCAM consumption pattern: the attention map
+    leaves via has_aux, one vjp, pullback vmapped over several seeds."""
+    from weclip_tpu.ops.pallas_attention import mha_with_weights_fused
+
+    rng = np.random.default_rng(3)
+    b, l, lv, d, h = 1, 160, 130, 32, 4
+    x = rng.standard_normal((b, l, d)).astype(np.float32)
+    x[:, lv:] = 0.0
+    valid = np.zeros((b, l), bool)
+    valid[:, :lv] = True
+    x, valid = jnp.asarray(x), jnp.asarray(valid)
+    p = _params(np.random.default_rng(4), d)
+    w = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+
+    def head(fn, kw):
+        def f(a):
+            out, attn = fn(a, p, h, valid=valid, policy=precision.FP32, **kw)
+            return out @ w, attn
+        return f
+
+    ref_out, ref_pull, ref_attn = jax.vjp(head(mha_with_weights, {}), x,
+                                          has_aux=True)
+    fus_out, fus_pull, fus_attn = jax.vjp(
+        head(mha_with_weights_fused, {"interpret": True}), x, has_aux=True)
+    np.testing.assert_allclose(np.asarray(fus_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fus_attn), np.asarray(ref_attn),
+                               rtol=2e-5, atol=2e-5)
+
+    seeds = jnp.asarray(rng.standard_normal((3, b, l)), jnp.float32)
+    g_ref = jax.vmap(lambda s: ref_pull(s)[0])(seeds)
+    g_fus = jax.vmap(lambda s: fus_pull(s)[0])(seeds)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_cross_core_fused_gradients_match_xla():
     """custom_vjp backward (XLA recompute) == grads of the XLA core."""
     import jax

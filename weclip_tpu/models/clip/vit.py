@@ -118,7 +118,18 @@ def block_forward_from_ln1(
     """
     mha = MhaParams(p["attn"]["in_w"], p["attn"]["in_b"],
                     p["attn"]["out_w"], p["attn"]["out_b"])
-    attn_out, attn_w = mha_with_weights(a, mha, n_heads, valid=valid, policy=policy)
+    if jax.default_backend() == "tpu" and a.shape[1] >= 256:
+        # fused Pallas forward + flash-style Pallas backward: the GradCAM
+        # pullback through the XLA attention materialized multiple fp32
+        # (B, H, L, L) HBM temporaries per class seed.  The exported map is
+        # consumed under has_aux/stop_gradient only (a requirement of
+        # attention_core_diff, which every caller here satisfies).
+        from weclip_tpu.ops.pallas_attention import mha_with_weights_fused
+        attn_out, attn_w = mha_with_weights_fused(a, mha, n_heads,
+                                                  valid=valid, policy=policy)
+    else:
+        attn_out, attn_w = mha_with_weights(a, mha, n_heads, valid=valid,
+                                            policy=policy)
     x = x_in + attn_out
     x = x + mlp_forward(p["mlp"], layer_norm(x, p["ln_2"]["g"], p["ln_2"]["b"]), policy)
     return x, attn_w

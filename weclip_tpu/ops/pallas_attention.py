@@ -218,6 +218,195 @@ def mha_with_weights_pallas(
     return out.astype(x.dtype), attn_mean
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
+                     dq_ref, dk_ref, dv_ref, *, score_dtype=jnp.bfloat16):
+    """Flash-style self-attention backward tile: recomputes the softmax in
+    VMEM and emits dQ for this q-tile plus dK/dV partials accumulated across
+    the q sweep (grid (B, H, Q_tiles), q-tiles innermost so the K/V input
+    blocks and dK/dV output blocks stay resident per (b, h))."""
+    qt = pl.program_id(2)
+    q = q_ref[0, 0]                                      # (TQ, Dh) pre-scaled
+    k = k_ref[0, 0]                                      # (L, Dh)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)                # (TQ, Dh)
+    kmask = mask_ref[0]                                  # (1, L)
+
+    qs = q.astype(score_dtype)
+    ks = k.astype(score_dtype)
+    scores = jax.lax.dot_general(
+        qs, ks, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, L)
+    neg = jnp.float32(-1e30)
+    scores = jnp.where(kmask > 0, scores, neg)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    smax = jnp.maximum(smax, neg * 0.5)
+    ex = jnp.exp(scores - smax)
+    ex = jnp.where(kmask > 0, ex, 0.0)
+    p = ex / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30)
+
+    dp = jax.lax.dot_general(
+        do.astype(score_dtype), v.astype(score_dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, L)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)      # (TQ, 1)
+    ds = p * (dp - delta)                                # (TQ, L) fp32
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(score_dtype), ks, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (TQ, Dh)
+    dkc = jax.lax.dot_general(
+        ds.astype(score_dtype), qs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (L, Dh)
+    dvc = jax.lax.dot_general(
+        p.astype(score_dtype), do.astype(score_dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (L, Dh)
+
+    @pl.when(qt == 0)
+    def _():
+        dk_ref[0, 0] = dkc
+        dv_ref[0, 0] = dvc
+
+    @pl.when(qt > 0)
+    def _():
+        dk_ref[0, 0] += dkc
+        dv_ref[0, 0] += dvc
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret",
+                                              "score_dtype"))
+def attention_bwd_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                         do: jax.Array, kmask: jax.Array,
+                         q_tile: Optional[int] = None,
+                         interpret: bool = False,
+                         score_dtype=jnp.bfloat16):
+    """Attention backward: q (pre-scaled), do (B, H, Lq, Dh) fp32; k, v
+    (B, H, Lk, Dh); kmask (B, Lk) -> (dq, dk, dv) fp32 w.r.t. the pre-scaled
+    q.  Rectangular (Lq != Lk) shapes serve the CoMer CTI backward; the
+    square case serves the GradCAM pullback.  Never materializes an
+    (Lq, Lk) tensor in HBM — the fp32 softmax/ds chain lives in VMEM per
+    q-tile (the XLA vjp wrote ~5 full (B, H, Lq, Lk) fp32 HBM temporaries)."""
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    lkp = _round_up(lk, 128)
+    if q_tile is None:
+        # ~4 live fp32 (TQ, Lk) temporaries (scores/p/dp/ds); cap at 12 MB
+        best = None
+        for qt in (128, 256, 384, 512):
+            if 4 * qt * lkp * 4 > 12 * 2 ** 20 and qt != 128:
+                continue
+            key = (_round_up(lq, qt), -qt)
+            if best is None or key < best:
+                best, q_tile = key, qt
+    lqp = _round_up(lq, q_tile)
+    if lqp != lq:
+        qpad = [(0, 0), (0, 0), (0, lqp - lq), (0, 0)]
+        q = jnp.pad(q, qpad)
+        do = jnp.pad(do, qpad)
+    if lkp != lk:
+        kpad = [(0, 0), (0, 0), (0, lkp - lk), (0, 0)]
+        k = jnp.pad(k, kpad)
+        v = jnp.pad(v, kpad)
+        kmask = jnp.pad(kmask, [(0, 0), (0, lkp - lk)])
+    kmask2 = kmask[:, None, :].astype(jnp.float32)
+
+    grid = (b, h, lqp // q_tile)
+    qspec = pl.BlockSpec((1, 1, q_tile, dh), lambda bi, hi, qt: (bi, hi, qt, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, 1, lkp, dh), lambda bi, hi, qt: (bi, hi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, score_dtype=score_dtype),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, qspec,
+                  pl.BlockSpec((1, 1, lkp), lambda bi, hi, qt: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[jax.ShapeDtypeStruct((b, h, lqp, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, lkp, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, lkp, dh), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, kmask2)
+    return dq[:, :, :lq], dk[:, :, :lk], dv[:, :, :lk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def attention_core_diff(q, k, v, kmask, n_heads, score_dtype, interpret=False):
+    """Differentiable fused attention core: Pallas forward (with the
+    head-mean map export) + Pallas flash-style backward.
+
+    q, k, v: (B, H, L, Dh) fp32 UNscaled; kmask (B, L).  Returns
+    (out (B, H, L, Dh) fp32, attn_mean (B, L, L) fp32).
+
+    The attn_mean output is NOT differentiable — the backward assumes its
+    cotangent is zero (GradCAM exports it via has_aux / stop_gradient;
+    asserting this at trace time is impossible).  Serves the vjp-GradCAM
+    pullback, where the XLA attention forward+backward materialized
+    multiple fp32 (B, H, L, L) HBM temporaries per class seed.
+    """
+    return attention_core_pallas(q, k, v, kmask, n_heads,
+                                 interpret=interpret, score_dtype=score_dtype,
+                                 export_weights=True)
+
+
+def _acd_fwd(q, k, v, kmask, n_heads, score_dtype, interpret=False):
+    out = attention_core_pallas(q, k, v, kmask, n_heads, interpret=interpret,
+                                score_dtype=score_dtype, export_weights=True)
+    return out, (q, k, v, kmask)
+
+
+def _acd_bwd(n_heads, score_dtype, interpret, res, g):
+    g_out, _g_attn_assumed_zero = g
+    q, k, v, kmask = res
+    scale = q.shape[-1] ** -0.5
+    dq, dk, dv = attention_bwd_pallas(q * scale, k, v, g_out, kmask,
+                                      interpret=interpret,
+                                      score_dtype=score_dtype)
+    return dq * scale, dk, dv, jnp.zeros_like(kmask)
+
+
+attention_core_diff.defvjp(_acd_fwd, _acd_bwd)
+
+
+def mha_with_weights_fused(
+    x: jax.Array,
+    p: MhaParams,
+    n_heads: int,
+    valid: Optional[jax.Array] = None,
+    policy: precision.Policy = precision.DEFAULT,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Differentiable drop-in for ops.attention.mha_with_weights backed by
+    the Pallas core in BOTH directions (projections stay XLA einsums, which
+    JAX differentiates exactly).  The attention-map output must only be
+    consumed under stop_gradient/has_aux (see attention_core_diff)."""
+    b, l, d = x.shape
+    hd = d // n_heads
+    cd = policy.compute_dtype
+    xc = x.astype(cd)
+    w3 = p.in_w.reshape(3, d, d)
+    b3 = p.in_b.reshape(3, d)
+    qkv = (jnp.einsum("bld,ted->tble", xc, w3.astype(cd),
+                      preferred_element_type=jnp.float32)
+           + b3[:, None, None, :].astype(jnp.float32)).astype(cd)
+
+    def heads(t):
+        return t.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
+
+    kmask = (valid.astype(jnp.float32) if valid is not None
+             else jnp.ones((b, l), jnp.float32))
+    out, attn_mean = attention_core_diff(
+        heads(qkv[0]).astype(jnp.float32), heads(qkv[1]).astype(jnp.float32),
+        heads(qkv[2]).astype(jnp.float32), kmask, n_heads, cd, interpret)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
+                     preferred_element_type=jnp.float32)
+    out = out + p.out_b.astype(jnp.float32)
+    if valid is not None:
+        qmask = valid.astype(bool)
+        out = jnp.where(qmask[..., None], out, 0.0)
+        attn_mean = jnp.where(qmask[:, :, None], attn_mean, 0.0)
+    return out.astype(x.dtype), attn_mean
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile", "interpret",
                                               "score_dtype"))
 def cross_attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -234,10 +423,21 @@ def cross_attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     b, h, lq, dh = q.shape
     lk = k.shape[2]
-    if q_tile is None:
-        q_tile = _pick_q_tile(lq)
-    lqp = _round_up(lq, q_tile)
     lkp = _round_up(lk, 128)
+    if q_tile is None:
+        # VMEM-aware tile pick: the kernel keeps ~3 fp32 (TQ, Lk) softmax
+        # temporaries live (scores/ex/attn) plus double-buffered K/V; the
+        # scoped-VMEM limit is ~24.25 MB and TQ=256 at Lk=5376 measured
+        # 24.65 MB (compile OOM) — cap the score working set at 12 MB and
+        # break ties by least padding, largest tile.
+        best = None
+        for qt in (128, 256, 384, 512):
+            if 3 * qt * lkp * 4 > 12 * 2 ** 20 and qt != 128:
+                continue
+            key = (_round_up(lq, qt), -qt)
+            if best is None or key < best:
+                best, q_tile = key, qt
+    lqp = _round_up(lq, q_tile)
     if lqp != lq:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, lqp - lq), (0, 0)])
     if lkp != lk:
@@ -247,27 +447,30 @@ def cross_attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         kmask = jnp.pad(kmask, [(0, 0), (0, lkp - lk)])
     kmask2 = kmask[:, None, :].astype(jnp.float32)
 
-    grid = (b, lqp // q_tile, h)
+    # grid: q-tiles INNERMOST (unlike the self-attention kernel, which needs
+    # h innermost to accumulate the head-mean export) so the (Lk, Dh) K/V
+    # blocks stay VMEM-resident across the whole q sweep of one (b, h)
+    grid = (b, h, lqp // q_tile)
     res = pl.pallas_call(
         functools.partial(_attn_kernel, n_heads=h, scale=1.0,
                           score_dtype=score_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, q_tile, dh),
-                         lambda bi, qt, hi: (bi, hi, qt, 0),
+                         lambda bi, hi, qt: (bi, hi, qt, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lkp, dh),
-                         lambda bi, qt, hi: (bi, hi, 0, 0),
+                         lambda bi, hi, qt: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lkp, dh),
-                         lambda bi, qt, hi: (bi, hi, 0, 0),
+                         lambda bi, hi, qt: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, lkp),
-                         lambda bi, qt, hi: (bi, 0, 0),
+                         lambda bi, hi, qt: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, 1, q_tile, dh),
-                                lambda bi, qt, hi: (bi, hi, qt, 0),
+                                lambda bi, hi, qt: (bi, hi, qt, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((b, h, lqp, dh), jnp.float32)],
         interpret=interpret,
