@@ -111,14 +111,21 @@ def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3):
 
     # device steady-state: one resident batch, best of `windows` windows
     # (single-window timings vary +-7% from host/tunnel scheduling noise;
-    # the minimum is the standard steady-state estimator for that profile)
+    # the minimum is the standard steady-state estimator for that profile).
+    # Timing barrier: the chained hist read.  hists feed round N into round
+    # N+1 and any output read requires the whole module execution to
+    # complete, so this forces every round's full compute.  Do NOT read the
+    # prediction canvases here: the production eval hot path
+    # (Evaluator.run) accumulates metrics on device and never ships them,
+    # and one (B,512,512) int32 readback costs ~175 ms through the ~86 MB/s
+    # tunnel — r2/r3 benches paid exactly that per window, under-reporting
+    # the device rate by ~15% (xprof: modules run gap-free back-to-back).
     dt_dev = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(rounds):
             ps, pm, hists = one_round(built0, hists)
         np.asarray(hists[0])
-        np.asarray(ps)
         dt_dev = min(dt_dev, time.perf_counter() - t0)
 
     # end-to-end: fresh host batches rotate through a depth-1 prefetch
@@ -134,10 +141,10 @@ def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3):
             built = fut.result()
             fut = pool.submit(ev.build_batch, ex_sets[(r + 2) % len(ex_sets)])
         np.asarray(hists[0])
-        np.asarray(ps)
         dt_e2e = min(dt_e2e, time.perf_counter() - t0)
         fut.result()
     pool.shutdown()
+    np.asarray(ps)                    # untimed sanity read of the last preds
 
     import jax
     n_dev = max(jax.device_count(), 1)

@@ -128,11 +128,14 @@ class Evaluator:
     def round_for(self, mc: int):
         """One fused program per class bucket: scale1 + scale2 + combine.
 
-        Every dispatch through the axon tunnel costs ~10 ms of latency; a
-        3-program round leaves measurable gaps between them (xprof: 174 ms
-        device self-time inside a ~202 ms round).  jit-of-jit inlines the
-        three cached programs into ONE XLA computation, so results are
-        identical to the separate calls by construction."""
+        jit-of-jit inlines the three cached programs into ONE XLA
+        computation, so results are identical to the separate calls by
+        construction.  One dispatch per round also keeps the axon tunnel's
+        per-dispatch latency off the critical path.  (An earlier version of
+        this comment blamed a 174-vs-202 ms wall gap on inter-program
+        bubbles; an xprof timeline later showed modules execute back-to-back
+        with ~10 us gaps — the wall gap was the benchmark's own prediction
+        readback, since removed from the timed window.)"""
         key = ("round", mc)
         if key not in self._scale1_cache:
             scale1 = self.scale1_for(mc)
