@@ -48,13 +48,18 @@ Params = Dict[str, Any]
 
 def conv2d(x: jax.Array, w: jax.Array, stride: int = 1, dilation: int = 1,
            policy: precision.Policy = precision.DEFAULT) -> jax.Array:
-    """NCHW conv with SAME padding."""
+    """NCHW conv with SAME padding.
+
+    No ``preferred_element_type``: the conv vjp rejects the fp32 cotangent
+    against bf16 operands ("requires arguments to have the same dtypes").
+    The MXU still accumulates fp32 internally for bf16 convs — only the
+    output store rounds to bf16 — and every consumer (group_norm, residual
+    adds) immediately upcasts to fp32."""
     cd = policy.compute_dtype
     return jax.lax.conv_general_dilated(
         x.astype(cd), w.astype(cd), (stride, stride), "SAME",
         rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NCHW", "OIHW", "NCHW")).astype(jnp.float32)
 
 
 def group_norm(x: jax.Array, g: jax.Array, b: jax.Array,
@@ -276,10 +281,14 @@ def comer_forward(
     b = img.shape[0]
     embed = p["vit_proj_b"].shape[0]
 
+    cd = policy.compute_dtype
+
     def tokens(level, name):
         t = level.reshape(b, level.shape[1], -1).transpose(0, 2, 1)
-        return jnp.einsum("bpc,ec->bpe", t.astype(jnp.float32),
-                          p[f"lvl_proj_{name}_w"]) + p[f"lvl_proj_{name}_b"]
+        return (jnp.einsum("bpc,ec->bpe", t.astype(cd),
+                           p[f"lvl_proj_{name}_w"].astype(cd),
+                           preferred_element_type=jnp.float32)
+                + p[f"lvl_proj_{name}_b"])
 
     # multi-scale token stream (B, P3+P4+P5, embed)
     ms = jnp.concatenate([tokens(c3, "c3"), tokens(c4, "c4"),
@@ -300,17 +309,18 @@ def comer_forward(
     # ViT-aligned trainable stream, initialized from the first interaction
     # layer's tokens
     idxs = cfg.interaction_indexes
-    v = jnp.einsum("bpd,ed->bpe",
-                   vit_layer_tokens[idxs[0]].astype(jnp.float32),
-                   p["vit_proj_w"]) + p["vit_proj_b"]
+    v = jnp.einsum("bpd,ed->bpe", vit_layer_tokens[idxs[0]].astype(cd),
+                   p["vit_proj_w"].astype(cd),
+                   preferred_element_type=jnp.float32) + p["vit_proj_b"]
 
     for i, layer_idx in enumerate(idxs):
         cp = p["cti"][i]
         vt = jnp.einsum("bpd,ed->bpe",
                         vit_layer_tokens[min(layer_idx,
                                              vit_layer_tokens.shape[0] - 1)]
-                        .astype(jnp.float32),
-                        p["vit_proj_w"]) + p["vit_proj_b"]
+                        .astype(cd),
+                        p["vit_proj_w"].astype(cd),
+                        preferred_element_type=jnp.float32) + p["vit_proj_b"]
         v = v + vt
         vq = layer_norm_1d(v, cp["ln_q"]["g"], cp["ln_q"]["b"])
         msn = layer_norm_1d(ms, cp["ln_kv"]["g"], cp["ln_kv"]["b"])
@@ -326,6 +336,7 @@ def comer_forward(
         v = v + cross_attention(vq, msn, cp["ext"], cfg.cti_heads,
                                 kv_valid=ms_valid, policy=policy)
 
-    out = jnp.einsum("bpe,fe->bpf", v, p["out_w"]) + p["out_b"]
+    out = jnp.einsum("bpe,fe->bpf", v.astype(cd), p["out_w"].astype(cd),
+                     preferred_element_type=jnp.float32) + p["out_b"]
     out = layer_norm_1d(out, p["out_gn"]["g"], p["out_gn"]["b"])
     return jnp.where(valid_p[..., None].astype(bool), out, 0.0)

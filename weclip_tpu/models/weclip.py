@@ -99,12 +99,18 @@ def backbone_and_heads(
         from weclip_tpu.models.comer import comer_forward
         fused = heads.fuse_forward(params["head"]["fuse"], layer_tokens,
                                    dropout_rng, policy=head_policy)
+        # the CoMer branch runs at the BACKBONE compute policy (bf16 in
+        # production), not the fp32 head policy: it is a paper-only branch
+        # with no reference numerics to preserve, its zero-init gates keep
+        # the step-0 signal exact in any dtype, and fp32 convs/CTI cost
+        # ~2x on the MXU.  Norms/softmax stay fp32 islands inside.
         fused = fused + comer_forward(params["comer"], batch.img,
                                       layer_tokens, batch.valid[:, 1:],
-                                      cfg.comer, head_policy)
+                                      cfg.comer, policy)
         seg, dec_attn = heads.decoder_forward(params["head"]["decoder"], fused,
                                               valid_p=batch.valid[:, 1:],
-                                              policy=head_policy)
+                                              policy=head_policy,
+                                              allow_pallas=dropout_rng is None)
         head_out = heads.HeadOutputs(seg, fused, dec_attn)
     else:
         # gradient-free callers (dropout off == eval) may fuse the decoder
