@@ -199,6 +199,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--comer", action="store_true",
                     help="also bench the WeCLIP+ViT-CoMer config")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override eval.batch_images (sweep tool)")
     args = ap.parse_args()
 
     from weclip_tpu.core.runtime import enable_compilation_cache
@@ -207,6 +209,10 @@ def main():
     from weclip_tpu.core.config import Config
 
     cfg = Config()                                  # ViT-B/16, VOC, 21 classes
+    if args.batch:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, batch_images=args.batch))
     rng = np.random.default_rng(0)
     policy = precision.make_policy("bfloat16")
     params, frozen, clip_params = build_state(cfg, rng)

@@ -168,7 +168,12 @@ class ComerConfig:
     stem_width: int = 64
     pyramid_dims: Tuple[int, int, int] = (128, 256, 256)   # C3, C4, C5
     mrfp_dilations: Tuple[int, ...] = (1, 2, 3)
-    cti_heads: int = 8
+    # head width 64 (embed 256 / 4) — the standard ViT head dim.  The paper
+    # prescribes no head count for its (sparse, deformable) attention; our
+    # dense CTI redesign picks Dh=64 because Dh=32 runs the QK^T contraction
+    # at 1/4 MXU efficiency and doubles the per-head softmax volume
+    # (measured: the CTI kernel is softmax-VPU + contraction-width bound)
+    cti_heads: int = 4
     interaction_indexes: Tuple[int, ...] = (2, 5, 8, 11)   # ViT blocks after which CTI runs
 
 

@@ -59,11 +59,15 @@ def conv2d(x: jax.Array, w: jax.Array, stride: int = 1, dilation: int = 1,
     return jax.lax.conv_general_dilated(
         x.astype(cd), w.astype(cd), (stride, stride), "SAME",
         rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NCHW", "OIHW", "NCHW")).astype(jnp.float32)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
 
 
 def group_norm(x: jax.Array, g: jax.Array, b: jax.Array,
                groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    """fp32 statistics, output back in the input dtype (the branch's
+    activation streams live in the compute dtype end-to-end — r3 xprof: the
+    fp32 streams cost ~9.5 ms/round of unfused bf16<->fp32 converts at the
+    kernel boundaries plus double HBM traffic)."""
     n, c, h, w = x.shape
     groups = min(groups, c)
     xf = x.astype(jnp.float32).reshape(n, groups, c // groups, h, w)
@@ -71,7 +75,8 @@ def group_norm(x: jax.Array, g: jax.Array, b: jax.Array,
     var = xf.var(axis=(2, 3, 4), keepdims=True)
     xf = (xf - mu) * jax.lax.rsqrt(var + eps)
     xf = xf.reshape(n, c, h, w)
-    return xf * g[None, :, None, None] + b[None, :, None, None]
+    y = xf * g[None, :, None, None] + b[None, :, None, None]
+    return y.astype(x.dtype)
 
 
 def _xla_cross_core(qp: jax.Array, kp: jax.Array, vp: jax.Array,
@@ -123,7 +128,10 @@ def _cross_core_bwd(cd, res, g):
     dq, dk, dv = attention_bwd_pallas(t(qp), t(kp), t(vp), t(g), kvmask,
                                       interpret=jax.default_backend() != "tpu",
                                       score_dtype=cd)
-    return t(dq), t(dk), t(dv), jnp.zeros_like(kvmask)
+    # cotangents must match the primal dtypes (the head tensors live in the
+    # compute dtype)
+    return (t(dq).astype(qp.dtype), t(dk).astype(kp.dtype),
+            t(dv).astype(vp.dtype), jnp.zeros_like(kvmask))
 
 
 _cross_core_fused.defvjp(_cross_core_fwd, _cross_core_bwd)
@@ -140,13 +148,19 @@ def cross_attention(q: jax.Array, kv: jax.Array, p: Params, n_heads: int,
     cd = policy.compute_dtype
     b, lq, c = q.shape
     hd = c // n_heads
-    qp = jnp.einsum("blc,dc->bld", q.astype(cd), p["q_w"].astype(cd),
-                    preferred_element_type=jnp.float32) + p["q_b"]
-    kp = jnp.einsum("blc,dc->bld", kv.astype(cd), p["k_w"].astype(cd),
-                    preferred_element_type=jnp.float32) + p["k_b"]
-    vp = jnp.einsum("blc,dc->bld", kv.astype(cd), p["v_w"].astype(cd),
-                    preferred_element_type=jnp.float32) + p["v_b"]
-    qp = qp.reshape(b, lq, n_heads, hd) * (hd ** -0.5)
+    # projections accumulate fp32 on the MXU; the materialized head tensors
+    # live in the compute dtype (halves the custom_vjp residual + kernel
+    # input HBM traffic; the kernel's softmax stays fp32 inside)
+    qp = (jnp.einsum("blc,dc->bld", q.astype(cd), p["q_w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+          + p["q_b"]).astype(cd)
+    kp = (jnp.einsum("blc,dc->bld", kv.astype(cd), p["k_w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+          + p["k_b"]).astype(cd)
+    vp = (jnp.einsum("blc,dc->bld", kv.astype(cd), p["v_w"].astype(cd),
+                     preferred_element_type=jnp.float32)
+          + p["v_b"]).astype(cd)
+    qp = qp.reshape(b, lq, n_heads, hd) * jnp.asarray(hd ** -0.5, cd)
     kp = kp.reshape(b, -1, n_heads, hd)
     vp = vp.reshape(b, -1, n_heads, hd)
     kvmask = (kv_valid.astype(jnp.float32) if kv_valid is not None
@@ -156,15 +170,18 @@ def cross_attention(q: jax.Array, kv: jax.Array, p: Params, n_heads: int,
     else:
         o = _xla_cross_core(qp, kp, vp, kvmask, cd)
     o = o.reshape(b, lq, c)
-    return jnp.einsum("blc,dc->bld", o.astype(cd), p["o_w"].astype(cd),
-                      preferred_element_type=jnp.float32) + p["o_b"]
+    # output in the compute dtype so the residual streams stay in it
+    return (jnp.einsum("blc,dc->bld", o.astype(cd), p["o_w"].astype(cd),
+                       preferred_element_type=jnp.float32)
+            + p["o_b"]).astype(cd)
 
 
 def layer_norm_1d(x, g, b, eps=1e-5):
+    """fp32 statistics, output back in the input dtype."""
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
     var = xf.var(-1, keepdims=True)
-    return (xf - mu) * jax.lax.rsqrt(var + eps) * g + b
+    return (((xf - mu) * jax.lax.rsqrt(var + eps)) * g + b).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -279,20 +296,30 @@ def comer_forward(
     c5 = _mrfp(c5, p["mrfp"][2], cfg.mrfp_dilations, policy)
 
     b = img.shape[0]
-    embed = p["vit_proj_b"].shape[0]
-
     cd = policy.compute_dtype
+    embed = p["vit_proj_b"].shape[0]
 
     def tokens(level, name):
         t = level.reshape(b, level.shape[1], -1).transpose(0, 2, 1)
         return (jnp.einsum("bpc,ec->bpe", t.astype(cd),
                            p[f"lvl_proj_{name}_w"].astype(cd),
                            preferred_element_type=jnp.float32)
-                + p[f"lvl_proj_{name}_b"])
+                + p[f"lvl_proj_{name}_b"]).astype(cd)
 
-    # multi-scale token stream (B, P3+P4+P5, embed)
-    ms = jnp.concatenate([tokens(c3, "c3"), tokens(c4, "c4"),
-                          tokens(c5, "c5")], axis=1)
+    # multi-scale token stream (B, P3+P4+P5 -> padded to 128, embed).  The
+    # streams are zero-padded to lane-aligned lengths AT CONSTRUCTION (an
+    # extra concat chunk / projected zero rows) so the CTI attention kernel
+    # pads nothing: jnp.pad of the (B, ~5.4k, 256) streams inside the
+    # kernel wrapper copied the full tensors (~8.5 ms/round, r3 xprof).
+    # Padded rows are garbage-in-garbage-out: both attention directions
+    # mask them as keys (padded kv_valid/ms_valid) and the final output
+    # slices back to P.
+    lvl = [tokens(c3, "c3"), tokens(c4, "c4"), tokens(c5, "c5")]
+    lms = sum(t.shape[1] for t in lvl)
+    lmsp = -(-lms // 128) * 128
+    if lmsp != lms:
+        lvl.append(jnp.zeros((b, lmsp - lms, embed), cd))
+    ms = jnp.concatenate(lvl, axis=1)
     # validity per level from the 1/16 grid mask
     g = int(math.isqrt(valid_p.shape[1]))
     vg = valid_p.reshape(b, g, g)
@@ -305,22 +332,27 @@ def comer_forward(
 
     ms_valid = jnp.concatenate([level_valid(1, 8), level_valid(1, 16),
                                 level_valid(1, 32)], axis=1)
+    ms_valid = jnp.pad(ms_valid, [(0, 0), (0, lmsp - lms)])
 
     # ViT-aligned trainable stream, initialized from the first interaction
-    # layer's tokens
+    # layer's tokens; padded to a lane-aligned length like ms
+    pp = valid_p.shape[1]
+    ppp = -(-pp // 128) * 128
+    vl_pad = jnp.pad(vit_layer_tokens, [(0, 0), (0, 0), (0, ppp - pp), (0, 0)])
+    valid_pq = jnp.pad(valid_p, [(0, 0), (0, ppp - pp)])
     idxs = cfg.interaction_indexes
-    v = jnp.einsum("bpd,ed->bpe", vit_layer_tokens[idxs[0]].astype(cd),
-                   p["vit_proj_w"].astype(cd),
-                   preferred_element_type=jnp.float32) + p["vit_proj_b"]
+
+    def vit_tok(layer_idx):
+        return (jnp.einsum("bpd,ed->bpe", vl_pad[layer_idx].astype(cd),
+                           p["vit_proj_w"].astype(cd),
+                           preferred_element_type=jnp.float32)
+                + p["vit_proj_b"]).astype(cd)
+
+    v = vit_tok(idxs[0])
 
     for i, layer_idx in enumerate(idxs):
         cp = p["cti"][i]
-        vt = jnp.einsum("bpd,ed->bpe",
-                        vit_layer_tokens[min(layer_idx,
-                                             vit_layer_tokens.shape[0] - 1)]
-                        .astype(cd),
-                        p["vit_proj_w"].astype(cd),
-                        preferred_element_type=jnp.float32) + p["vit_proj_b"]
+        vt = vit_tok(min(layer_idx, vit_layer_tokens.shape[0] - 1))
         v = v + vt
         vq = layer_norm_1d(v, cp["ln_q"]["g"], cp["ln_q"]["b"])
         msn = layer_norm_1d(ms, cp["ln_kv"]["g"], cp["ln_kv"]["b"])
@@ -331,11 +363,12 @@ def comer_forward(
         # stage's injector dead computation (caught by the grad-coverage
         # test in tests/test_comer.py)
         ms = ms + cross_attention(msn, vq, cp["inj"], cfg.cti_heads,
-                                  kv_valid=valid_p, policy=policy)
+                                  kv_valid=valid_pq, policy=policy)
         msn = layer_norm_1d(ms, cp["ln_kv"]["g"], cp["ln_kv"]["b"])
         v = v + cross_attention(vq, msn, cp["ext"], cfg.cti_heads,
                                 kv_valid=ms_valid, policy=policy)
 
+    v = v[:, :pp]
     out = jnp.einsum("bpe,fe->bpf", v.astype(cd), p["out_w"].astype(cd),
                      preferred_element_type=jnp.float32) + p["out_b"]
     out = layer_norm_1d(out, p["out_gn"]["g"], p["out_gn"]["b"])
