@@ -147,6 +147,12 @@ class Evaluator:
                 seg_single, seg_avg1, cam_labels = scale1(
                     params, frozen, sb1, presents, sizes, cls_idx, cls_active)
                 if msc:
+                    # build_batch always shares ONE uint8 original tensor
+                    # between the scales (sb2.img IS sb1.img), but jit
+                    # flattens them into two XLA parameters, which blocks
+                    # CSE of the duplicated normalize+resize prologue.
+                    # Rebinding onto sb1.img lets HloCSE merge them.
+                    sb2 = sb2._replace(img=sb1.img)
                     seg_avg2 = scale2(params, frozen, sb2, presents, sizes)
                 else:
                     seg_avg2 = seg_avg1

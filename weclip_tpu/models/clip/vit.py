@@ -63,12 +63,16 @@ def mlp_forward(p: Params, x: jax.Array, policy: precision.Policy) -> jax.Array:
     # *materialized* hidden activations live in the compute dtype so the
     # gelu/bias VPU passes stream half the bytes under bf16 (the reference
     # runs this entire block in fp16, clip/model.py:186-188)
+    # dots emit the compute dtype directly (fp32 MXU accumulation kept;
+    # only the HBM store is rounded) with biases added in cd — under bf16
+    # this removes the fp32 rounding read+write pass per matmul and matches
+    # the reference's fp16 GEMM epilogue; under fp32 it is identical
     h = (jnp.einsum("bld,ed->ble", x.astype(cd), p["fc_w"].astype(cd),
-                    preferred_element_type=jnp.float32)
-         + p["fc_b"].astype(jnp.float32)).astype(cd)
+                    preferred_element_type=cd)
+         + p["fc_b"].astype(cd))
     h = quick_gelu(h)
     y = jnp.einsum("ble,de->bld", h, p["proj_w"].astype(cd),
-                   preferred_element_type=jnp.float32) + p["proj_b"].astype(jnp.float32)
+                   preferred_element_type=cd) + p["proj_b"].astype(cd)
     return y.astype(x.dtype)
 
 

