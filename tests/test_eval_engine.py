@@ -93,8 +93,9 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
                              jnp.ones((1, frozen["bg_text"].shape[0]), bool)], 1)
     valid1 = jnp.ones((1, gh1 * gw1 + 1), bool)
     cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
-                            feats.layer_tokens[-1][:1], text, tmask, valid1,
-                            nfg, cfg.clip, precision.FP32)
+                            feats.layer_tokens[-1][:1], text, tmask,
+                            feats.valid[:1], nfg, cfg.clip, precision.FP32,
+                            num_patches=gh1 * gw1)
     fused = aff.fuse_attention_gated(feats.layer_attn[:, :1],
                                      cam_out.attn_last, attn_pred[:1],
                                      cfg.cam.seg_trans_layers,

@@ -82,10 +82,11 @@ def test_full_vision_forward_matches_torch(rng):
         jnp.ones((b, l), bool), cfg.clip, policy=precision.FP32)
 
     t_xs, t_attns = torch_vision_forward(params, img, cfg.clip.vision_heads)
-    np.testing.assert_allclose(np.asarray(feats.layer_tokens), t_xs,
+    # features come back at the stream-padded length — compare the valid L
+    np.testing.assert_allclose(np.asarray(feats.layer_tokens[:, :, :l]), t_xs,
                                rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(feats.layer_attn), t_attns,
-                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(feats.layer_attn[:, :, :l, :l]),
+                               t_attns, rtol=2e-4, atol=2e-4)
 
 
 def test_vision_forward_no_attn_export():
@@ -110,4 +111,5 @@ def test_vision_forward_no_attn_export():
     np.testing.assert_allclose(np.asarray(lean.layer_tokens),
                                np.asarray(full.layer_tokens),
                                rtol=1e-6, atol=1e-6)
-    assert lean.layer_attn.shape == (0, b, l, l)
+    ls = lean.layer_tokens.shape[2]          # stream-padded length
+    assert lean.layer_attn.shape == (0, b, ls, ls)

@@ -76,11 +76,17 @@ def gradcam_single(
     class_idx: jax.Array,      # (C,) int32 fg class ids to compute CAMs for
     cfg: ClipConfig,
     policy: precision.Policy = precision.DEFAULT,
+    num_patches: int = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """GradCAM for the given foreground classes of one image in one
     linearization (the reference runs one backward per *present* class,
     clip_tool.py:139-147 — ``class_idx`` is that compacted set, padded to a
     static size).
+
+    ``num_patches`` (static) is the padded-GRID patch count P when ``x11``
+    arrives at the frozen backbone's stream-padded length Ls > 1+P
+    (vit.VisionFeatures): CAMs are emitted for the grid block ``[1:1+P]``
+    only.  Default (None) keeps P = L-1, the unpadded contract.
 
     Returns (cams (C, P), attn_last (L, L), probs (T,)).
     """
@@ -112,14 +118,16 @@ def gradcam_single(
 
     grads = jax.vmap(grad_for)(seeds)                          # (C, L, D)
 
+    pe = 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
     # GradCAM: weights = mean over valid patch positions of the gradient
-    pmask = valid[1:].astype(jnp.float32)
+    # (stream-padding tokens beyond pe are invalid => zero contribution)
+    pmask = valid[1:pe].astype(jnp.float32)
     denom = jnp.maximum(pmask.sum(), 1.0)
-    weights = jnp.sum(grads[:, 1:] * pmask[None, :, None], axis=1) / denom  # (C, D)
-    acts = a0[1:]                                              # (P, D) patch activations
+    weights = jnp.sum(grads[:, 1:pe] * pmask[None, :, None], axis=1) / denom  # (C, D)
+    acts = a0[1:pe]                                            # (P, D) patch activations
     cams = jnp.einsum("cd,pd->cp", weights, acts.astype(jnp.float32))
     cams = jnp.maximum(cams, 0.0)
-    cams = jax.vmap(lambda c: _minmax_valid(c, valid[1:].astype(bool)))(cams)
+    cams = jax.vmap(lambda c: _minmax_valid(c, valid[1:pe].astype(bool)))(cams)
     return cams, attn_last, probs
 
 
@@ -134,12 +142,13 @@ def gradcam_batch(
     cfg: ClipConfig,
     policy: precision.Policy = precision.DEFAULT,
     class_idx: jax.Array = None,   # (B, C) compacted class ids; default all fg
+    num_patches: int = None,       # static grid patch count (stream-padded x11)
 ) -> CamOutputs:
     if class_idx is None:
         class_idx = jnp.broadcast_to(jnp.arange(num_fg, dtype=jnp.int32),
                                      (x11.shape[0], num_fg))
     f = lambda x, tm, v, ci: gradcam_single(visual_params, logit_scale, x,
                                             text_features, tm, v, ci, cfg,
-                                            policy)
+                                            policy, num_patches=num_patches)
     cams, attn_last, probs = jax.vmap(f)(x11, text_mask, valid, class_idx)
     return CamOutputs(cams, attn_last, probs)

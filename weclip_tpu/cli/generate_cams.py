@@ -84,9 +84,18 @@ def main():
         imgs1 = prepare_scale1_images(sb.img, sizes, cfg, prep.canvas_in1)
         batch = weclip_mod.Batch(imgs1, sb.pos_emb, sb.valid, sb.gh, sb.gw,
                                  presents)
-        feats = __import__("weclip_tpu.models.clip.vit", fromlist=["vit"]) \
-            .vision_forward_frozen(fz["visual"], batch.img, batch.pos_emb,
-                                   batch.valid, cfg.clip, policy=policy)
+        vit_mod = __import__("weclip_tpu.models.clip.vit", fromlist=["vit"])
+        feats = vit_mod.vision_forward_frozen(
+            fz["visual"], batch.img, batch.pos_emb, batch.valid, cfg.clip,
+            policy=policy)
+        # slice the stream-padded features (vit.VisionFeatures) back to the
+        # grid length: the CAM-variant engines below keep the plain
+        # P = L - 1 contract (this is the offline generator — the copy is
+        # not on the headline path)
+        l0 = sb.valid.shape[1]
+        feats = vit_mod.VisionFeatures(feats.layer_tokens[:, :, :l0],
+                                       feats.layer_attn[:, :, :l0, :l0],
+                                       feats.valid[:, :l0])
         text = jnp.concatenate([fz["fg_text"], fz["bg_text"]], 0)
         tmask = jnp.concatenate(
             [presents.astype(bool),

@@ -211,8 +211,9 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
              jnp.ones((b, frozen["bg_text"].shape[0]), bool)], axis=1)
         cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
                                 feats_u.layer_tokens[-1], text_features,
-                                text_mask, sb.valid, num_fg, cfg.clip, policy,
-                                class_idx=cls_idx)
+                                text_mask, feats_u.valid, num_fg, cfg.clip,
+                                policy, class_idx=cls_idx,
+                                num_patches=sb.valid.shape[1] - 1)
         valid_p = sb.valid[:, 1:].astype(jnp.float32)
         # mode == 'val' always gates by the learned affinity
         # (model_attn_aff_voc.py:146)

@@ -203,11 +203,20 @@ def grid_valid_mask(gh: jax.Array, gw: jax.Array, pad_gh: int, pad_gw: int) -> j
 
 class VisionFeatures(NamedTuple):
     """Per-layer products of the frozen 11-block forward
-    (reference require_all_fts=True, clip/model.py:225-243)."""
-    layer_tokens: jax.Array      # (11, B, L, D) policy compute dtype
-    layer_attn: jax.Array        # (11 or 0, B, L, L) fp32 — full frozen stack
-                                 # (0 when with_attn=False); consumers tail-slice
-    valid: jax.Array             # (B, L) bool
+    (reference require_all_fts=True, clip/model.py:225-243).
+
+    ``Ls`` is the STREAM length: the input L (1 + padded-grid tokens) rounded
+    up once to the attention kernel's preferred alignment
+    (ops/pallas_attention.py::stream_pad_len), so no per-layer pad/slice
+    copies happen inside the scan.  Tokens beyond the input L are invalid
+    exactly like padded-grid tokens (``valid`` marks them False); consumers
+    slice the patch block as ``[1:1+P]`` with P from the ORIGINAL batch
+    valid/grid, never ``[1:]``."""
+    layer_tokens: jax.Array      # (11, B, Ls, D) policy compute dtype
+    layer_attn: jax.Array        # (11 or 0, B, Ls, Ls) fp32 — full frozen
+                                 # stack (0 when with_attn=False); consumers
+                                 # tail-slice the layer axis
+    valid: jax.Array             # (B, Ls) bool — stream-padded validity
 
 
 def _stack_block(p: Params, i) -> Params:
@@ -256,6 +265,16 @@ def vision_forward_frozen(
     # the faithful TPU equivalent and halves every LN/residual VPU pass and
     # the per-layer token export traffic.  FP32 policies are unchanged.
     x = x.astype(policy.compute_dtype)
+    # pad the stream ONCE to the attention kernel's preferred alignment so
+    # the 12 per-layer kernel calls (and the GradCAM pullback downstream)
+    # skip their q/k/v pad copies and output slices entirely.  The extra
+    # tokens are ordinary invalid tokens: zero-valued, masked everywhere the
+    # padded-grid tokens already are.  See VisionFeatures docstring.
+    from weclip_tpu.ops.pallas_attention import stream_pad_len
+    ls = stream_pad_len(x.shape[1])
+    if ls != x.shape[1]:
+        x = jnp.pad(x, [(0, 0), (0, ls - x.shape[1]), (0, 0)])
+        valid = jnp.pad(valid, [(0, 0), (0, ls - valid.shape[1])])
 
     n_frozen = cfg.vision_layers - 1
     blocks = params["blocks"]

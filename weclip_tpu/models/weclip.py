@@ -84,7 +84,9 @@ def backbone_and_heads(
     feats = vit.vision_forward_frozen(
         frozen["visual"], batch.img, batch.pos_emb, batch.valid,
         cfg.clip, policy=policy, with_attn=with_attn, attn_rows=attn_rows)
-    layer_tokens = feats.layer_tokens[:, :, 1:, :]            # CLS dropped
+    # CLS dropped; the stream-padded tail (vit.VisionFeatures) excluded —
+    # the patch block is [1:1+P] with P from the ORIGINAL batch valid
+    layer_tokens = feats.layer_tokens[:, :, 1:batch.valid.shape[1], :]
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
 
     # trainable heads run at their own (default fp32) precision — the
@@ -160,10 +162,11 @@ def pseudo_labels(
     text_mask = jnp.concatenate(
         [batch.present_mask.astype(bool),
          jnp.ones((b, num_bg), bool)], axis=1)
-    x11 = feats.layer_tokens[-1]                              # input to block 11
+    x11 = feats.layer_tokens[-1]           # input to block 11, stream length
     cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"], x11,
-                            text_features, text_mask, batch.valid,
-                            num_fg, cfg.clip, policy, class_idx=cls_idx)
+                            text_features, text_mask, feats.valid,
+                            num_fg, cfg.clip, policy, class_idx=cls_idx,
+                            num_patches=batch.valid.shape[1] - 1)
 
     # ---- attention fusion (plain vs learned-affinity-gated) --------------
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
@@ -174,7 +177,8 @@ def pseudo_labels(
                                          seg_attn, cfg.cam.seg_trans_layers,
                                          valid_p),
         lambda: aff.fuse_attention_plain(feats.layer_attn, cam_out.attn_last,
-                                         cfg.cam.attn_fuse_layers))
+                                         cfg.cam.attn_fuse_layers,
+                                         num_patches=batch.valid.shape[1] - 1))
 
     # ---- Sinkhorn transition + box-masked random walk --------------------
     valid_pb = batch.valid[:, 1:]

@@ -37,6 +37,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def stream_pad_len(l: int) -> int:
+    """Fixed point of the kernel's internal padding: the smallest L' >= l
+    with ``_round_up(L', _pick_q_tile(L')) == L'``.
+
+    The frozen backbone pads its residual stream ONCE to this length so
+    every per-layer kernel invocation (12 layers x fwd, plus the GradCAM
+    pullback's fwd+bwd) sees an already-aligned sequence and skips its
+    q/k/v pad copies and output slices (~8 ms/round of HBM glue at eval
+    shapes, xprof r3).  Invalid tokens are masked exactly like the padded
+    grid's (weclip_tpu/models/clip/vit.py docstring)."""
+    lp = max(l, 16)
+    for _ in range(8):
+        nlp = _round_up(lp, _pick_q_tile(lp))
+        if nlp == lp:
+            return lp
+        lp = nlp
+    return lp
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
                  n_heads: int, scale: float, score_dtype=jnp.bfloat16):
     # out_ref may be a narrower dtype than the fp32 accumulator (the store
@@ -320,11 +339,20 @@ def attention_bwd_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     q-tile (the XLA vjp wrote ~5 full (B, H, Lq, Lk) fp32 HBM temporaries)."""
     b, h, lq, dh = q.shape
     lk = k.shape[2]
-    lkp = _round_up(lk, 128)
+    # 16-granule K padding (not 128): sublane granularity suffices for the
+    # (Lk, Dh) K/V blocks, and the forward kernel already runs divisor-tile
+    # lane widths like 1040 for the (TQ, Lk) temporaries.  This keeps
+    # stream_pad_len-aligned sequences pad-free through the backward too.
+    lkp = _round_up(lk, 16)
     if q_tile is None:
-        # ~4 live fp32 (TQ, Lk) temporaries (scores/p/dp/ds); cap at 12 MB
+        # ~4 live fp32 (TQ, Lk) temporaries (scores/p/dp/ds); cap at 12 MB.
+        # Divisor tiles (round_up(ceil(lq/k), 16)) join the 128-multiples so
+        # stream_pad_len-aligned lengths (e.g. 1040 = 5 x 208) stay pad-free.
+        cands = {128, 256, 384, 512}
+        for kdiv in (1, 2, 3, 4, 5, 6):
+            cands.add(max(_round_up((lq + kdiv - 1) // kdiv, 16), 64))
         best = None
-        for qt in (128, 256, 384, 512):
+        for qt in sorted(cands):
             if 4 * qt * lkp * 4 > 12 * 2 ** 20 and qt != 128:
                 continue
             key = (_round_up(lq, qt), -qt)

@@ -28,14 +28,18 @@ from weclip_tpu.refine.bbox import scoremap_box_mask
 
 
 def fuse_attention_plain(layer_attn: jax.Array, attn_last: jax.Array,
-                         n_fuse: int) -> jax.Array:
+                         n_fuse: int, num_patches: int = None) -> jax.Array:
     """Mean of the last ``n_fuse`` of [frozen layers ; last], CLS dropped.
 
     layer_attn: (K, B, L, L) frozen maps;  attn_last: (B, L, L).
-    Returns (B, P, P) with P = L - 1.  (clip_tool.py:172-175)
+    Returns (B, P, P).  ``num_patches`` gives P explicitly when the maps
+    arrive at the backbone's stream-padded length (vit.VisionFeatures);
+    default is P = L - 1.  (clip_tool.py:172-175)
     """
+    pe = 1 + (num_patches if num_patches is not None
+              else layer_attn.shape[-1] - 1)
     stack = jnp.concatenate([layer_attn, attn_last[None]], axis=0)
-    tail = stack[-n_fuse:, :, 1:, 1:]
+    tail = stack[-n_fuse:, :, 1:pe, 1:pe]
     return jnp.mean(tail, axis=0)
 
 
@@ -47,10 +51,12 @@ def fuse_attention_gated(layer_attn: jax.Array, attn_last: jax.Array,
     seg_attn: (B, P, P) sigmoid Gram affinity from the decoder features.
     valid_p:  (B, P) patch validity (used so padded cells don't skew the
     layer-selection statistics; at train time it is all-ones and this
-    matches the reference bit-for-bit).
+    matches the reference bit-for-bit).  P comes from seg_attn, so
+    stream-padded maps (L > 1 + P) slice down for free here.
     """
+    pe = 1 + seg_attn.shape[1]
     stack = jnp.concatenate([layer_attn, attn_last[None]], axis=0)
-    tail = stack[-n_window:, :, 1:, 1:]                       # (W, B, P, P)
+    tail = stack[-n_window:, :, 1:pe, 1:pe]                   # (W, B, P, P)
     vm = (valid_p[:, :, None] * valid_p[:, None, :])[None]    # (1, B, P, P)
     diff = jnp.sum((seg_attn[None] - tail) * vm, axis=(2, 3))  # (W, B)
     thr = jnp.mean(diff, axis=0, keepdims=True)
