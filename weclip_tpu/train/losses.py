@@ -67,7 +67,14 @@ def _masked_ce(logits: jax.Array, label: jax.Array, valid: jax.Array) -> jax.Arr
     semantics: returns 0-safe value when nothing is valid)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)  # (B,K,H,W)
     lab = jnp.clip(label, 0, logits.shape[1] - 1)
-    nll = -jnp.take_along_axis(logp, lab[:, None], axis=1)[:, 0]
+    # per-pixel class pick as a select-sum over the (small) class axis: the
+    # take_along_axis formulation lowers to a ~6 ms/step scalar gather on
+    # TPU (21% of the train step, xprof r3); K vectorized compares are ~free
+    # and differentiate identically (the cotangent scatters to the selected
+    # class either way)
+    nll = jnp.zeros(lab.shape, jnp.float32)
+    for c in range(logits.shape[1]):
+        nll = nll - jnp.where(lab == c, logp[:, c], 0.0)
     v = valid.astype(jnp.float32)
     return jnp.sum(nll * v) / jnp.maximum(v.sum(), 1.0)
 
