@@ -119,10 +119,13 @@ def test_jax_mean_field_agrees_with_native_lattice():
 
     img_dev = jnp.asarray(img.transpose(2, 0, 1), jnp.float32)
     agree = {}
-    for stride in (4, 8):
+    # strides 4/8 take the DENSE untruncated-kernel path (N <= 4096 here);
+    # stride 2 (N = 6400) covers the windowed fori_loop path
+    for stride in (2, 4, 8):
         pred = np.asarray(mean_field_crf_jax(jnp.asarray(probs), img_dev,
                                              cfg, bi_stride=stride)).argmax(0)
         agree[stride] = (pred == native).mean()
-    # measured: 0.9977 @ stride 4, 0.9919 @ stride 8 (PARITY.md)
+    # measured: 0.9984 @ 2 (windowed), 0.9977 @ 4, 0.9921 @ 8 (dense)
+    assert agree[2] >= 0.99, agree
     assert agree[4] >= 0.99, agree
     assert agree[8] >= 0.98, agree
