@@ -74,6 +74,11 @@ def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
                    help="dense-CRF backend: exact C++ permutohedral lattice "
                         "on the host, or the approximate batched on-device "
                         "JAX mean field")
+    p.add_argument("--crf_stride", default=8, type=int,
+                   help="bilateral subsampling stride of the jax CRF "
+                        "(8 = dense untruncated kernel, fastest; 4 recovers "
+                        "most remaining fidelity — agreement numbers in "
+                        "PARITY.md)")
     p.add_argument("--crf", action="store_true",
                    help="dense-CRF post-processing (the reference defines "
                         "crf_proc but ships with the call commented out)")

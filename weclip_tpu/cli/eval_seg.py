@@ -49,7 +49,8 @@ def main():
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=False, msc=True,
                    mesh=mesh)
     scores = ev.run(params, frozen, ds, max_images=args.max_images,
-                    progress=True, crf=args.crf, crf_impl=args.crf_impl)
+                    progress=True, crf=args.crf, crf_impl=args.crf_impl,
+                    crf_stride=args.crf_stride)
     log.info("segs score:\n%s", scores["seg"])
     log.info("msc segs score:\n%s", scores["msc_seg"])
     if "crf_seg" in scores:

@@ -57,6 +57,7 @@ def run_eval(cfg, args, dataset_name: str):
                    with_cam=(dataset_name == "voc"), msc=True, mesh=mesh)
     scores = ev.run(params, frozen, ds, max_images=args.max_images,
                     progress=True, crf=args.crf, crf_impl=args.crf_impl,
+                    crf_stride=args.crf_stride,
                     save_dir=args.work_dir if args.save_preds else None,
                     logits_dir=args.work_dir if args.save_logits else None)
     log.info("cams score:\n%s", scores["cam"])

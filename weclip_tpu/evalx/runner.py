@@ -271,13 +271,16 @@ class Evaluator:
             progress: bool = False,
             crf: bool = False,
             crf_impl: str = "native",
+            crf_stride: int = 8,
             save_dir: Optional[str] = None,
             logits_dir: Optional[str] = None,
             return_hists: bool = False) -> Dict[str, Dict]:
         """``crf_impl``: 'native' runs the exact permutohedral C++ lattice
         per image on the host (reference parity, utils/dcrf.py); 'jax' runs
         the approximate on-device mean field batched over the canvas —
-        orders of magnitude faster when host cores are scarce."""
+        orders of magnitude faster when host cores are scarce.
+        ``crf_stride``: bilateral subsampling stride of the jax impl
+        (accuracy/speed dial; fidelity measured in PARITY.md)."""
         cfg = self.cfg
         k = cfg.dataset.num_classes
         hists = (metrics.zero_hist(k), metrics.zero_hist(k), metrics.zero_hist(k))
@@ -289,12 +292,30 @@ class Evaluator:
             import jax.numpy as _jnp
             from weclip_tpu.refine.crf import mean_field_crf_jax
 
+            # strategy by subsampled-grid size: small grids batch the dense
+            # untruncated kernel under vmap; mid-size grids (e.g. stride 4 @
+            # 512px: 16384 points, a 1 GB kernel matrix) still take the
+            # dense path but serialized per image with lax.map so only one
+            # kernel matrix is live; larger grids fall back to the windowed
+            # sum under vmap (thresholds measured in PARITY.md)
+            canvas = self.prep.canvas_out
+            n_sub = (canvas // crf_stride) ** 2
+            one = lambda p, im: mean_field_crf_jax(
+                p, im, cfg.eval.crf, bi_stride=crf_stride,
+                dense_max_points=16384)
+
             @_jax.jit
             def crf_jax(logits, imgs):
                 # logits (B,K,H,W) -> softmax -> per-image mean field -> argmax
                 probs = _jax.nn.softmax(logits, axis=1)
-                ref = _jax.vmap(lambda p, im: mean_field_crf_jax(
-                    p, im, cfg.eval.crf))(probs, imgs)
+                if n_sub <= 4096:
+                    ref = _jax.vmap(lambda p, im: mean_field_crf_jax(
+                        p, im, cfg.eval.crf, bi_stride=crf_stride))(probs, imgs)
+                elif n_sub <= 16384:
+                    ref = _jax.lax.map(lambda pi: one(*pi), (probs, imgs))
+                else:
+                    ref = _jax.vmap(lambda p, im: mean_field_crf_jax(
+                        p, im, cfg.eval.crf, bi_stride=crf_stride))(probs, imgs)
                 return _jnp.argmax(ref, axis=1)
         elif crf:
             from weclip_tpu.refine.crf import DenseCRF

@@ -147,8 +147,10 @@ def _sep_gauss(x, sigma: float, radius: int):
 _DENSE_BILATERAL_MAX_POINTS = 4096
 
 
-@partial(__import__("jax").jit, static_argnames=("cfg", "bi_stride"))
-def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8):
+@partial(__import__("jax").jit, static_argnames=("cfg", "bi_stride",
+                                                  "dense_max_points"))
+def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8,
+                       dense_max_points: int = _DENSE_BILATERAL_MAX_POINTS):
     """On-device mean field. probs: (C,H,W); image: (3,H,W) float 0..255.
 
     Spatial kernel: exact separable Gaussian (sigma pos_xy_std).
@@ -156,7 +158,9 @@ def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8):
     set, sliced back bilinearly — a controlled approximation of the full
     5-D kernel.  Two evaluation strategies, picked by subsampled size:
 
-    - **dense** (<= 4096 points, i.e. the default stride 8 at 512px): the
+    - **dense** (<= ``dense_max_points``, default 4096 — the default
+      stride 8 at 512px; callers that serialize over the batch may raise
+      it, the kernel matrix is N^2 * 4 bytes): the
       full untruncated pairwise kernel as one (N, N) matrix built from a
       Gram matmul over the 5-D features (exp(-0.5 ||f_p - f_q||^2), no
       window cutoff) and applied as a (C, N) x (N, N) MXU matmul per
@@ -185,7 +189,7 @@ def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8):
     ys = jnp.arange(hs, dtype=jnp.float32)[:, None]
     xs = jnp.arange(ws, dtype=jnp.float32)[None, :]
 
-    if hs * ws <= _DENSE_BILATERAL_MAX_POINTS:
+    if hs * ws <= dense_max_points:
         n = hs * ws
         yy = jnp.broadcast_to(ys / sig_s, (hs, ws))
         xx = jnp.broadcast_to(xs / sig_s, (hs, ws))
