@@ -91,7 +91,6 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
     text = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], 0)
     tmask = jnp.concatenate([jnp.asarray(ex["present_mask"])[None],
                              jnp.ones((1, frozen["bg_text"].shape[0]), bool)], 1)
-    valid1 = jnp.ones((1, gh1 * gw1 + 1), bool)
     cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
                             feats.layer_tokens[-1][:1], text, tmask,
                             feats.valid[:1], nfg, cfg.clip, precision.FP32,

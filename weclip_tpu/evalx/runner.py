@@ -308,12 +308,9 @@ class Evaluator:
             def crf_jax(logits, imgs):
                 # logits (B,K,H,W) -> softmax -> per-image mean field -> argmax
                 probs = _jax.nn.softmax(logits, axis=1)
-                if n_sub <= 4096:
-                    ref = _jax.vmap(lambda p, im: mean_field_crf_jax(
-                        p, im, cfg.eval.crf, bi_stride=crf_stride))(probs, imgs)
-                elif n_sub <= 16384:
+                if 4096 < n_sub <= 16384:
                     ref = _jax.lax.map(lambda pi: one(*pi), (probs, imgs))
-                else:
+                else:  # small grids: dense kernel; huge grids: windowed sum
                     ref = _jax.vmap(lambda p, im: mean_field_crf_jax(
                         p, im, cfg.eval.crf, bi_stride=crf_stride))(probs, imgs)
                 return _jnp.argmax(ref, axis=1)

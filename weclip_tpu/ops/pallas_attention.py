@@ -37,6 +37,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _q_tile_candidates(l: int) -> set:
+    """Query-tile candidates shared by the forward/backward tile picks:
+    128-multiples plus *divisor tiles* round_up(ceil(l/k), 16) — sublane
+    granularity is 8 (fp32) / 16 (bf16), not 128, so e.g. L=1025 can run
+    as 5 tiles of 208 (lp=1040) instead of 3 of 384 (lp=1152).  Keeping
+    one candidate set means stream_pad_len-aligned lengths stay pad-free
+    through every kernel that picks from it."""
+    cands = {128, 256, 384, 512}
+    for kdiv in (1, 2, 3, 4, 5, 6):
+        cands.add(max(_round_up((l + kdiv - 1) // kdiv, 16), 64))
+    return cands
+
+
 def stream_pad_len(l: int) -> int:
     """Fixed point of the kernel's internal padding: the smallest L' >= l
     with ``_round_up(L', _pick_q_tile(L')) == L'``.
@@ -117,19 +130,13 @@ def _pick_q_tile(l: int) -> int:
     K/V re-fetch (measured differences are small — 6.7-8.7 ms across
     128..512 at B16/L1025 on v5e — so padding is the tiebreaker).
 
-    Besides the 128-multiples, *divisor tiles* round_up(ceil(l/k), 16) are
-    candidates: sublane granularity is 8 (fp32) / 16 (bf16), not 128, so
-    e.g. L=1025 can run as 5 tiles of 208 (lp=1040) instead of 3 of 384
-    (lp=1152) — 10% fewer softmax rows and ~18% fewer exported-map cells
-    for the same MXU shape (the lane dimension pads to 128-granule register
-    tiles either way).  VMEM bound: ~5 live fp32 (qt, lp) tile temporaries
-    (scores/ex/attn + export block + slack) capped at ~10 MB =>
-    qt*lp <= 500k."""
-    cands = {128, 256, 384, 512}
-    for kdiv in (1, 2, 3, 4, 5, 6):
-        cands.add(max(_round_up((l + kdiv - 1) // kdiv, 16), 64))
+    Candidates come from _q_tile_candidates (divisor tiles give e.g. 10%
+    fewer softmax rows and ~18% fewer exported-map cells at L=1025; the
+    lane dimension pads to 128-granule register tiles either way).  VMEM
+    bound: ~5 live fp32 (qt, lp) tile temporaries (scores/ex/attn + export
+    block + slack) capped at ~10 MB => qt*lp <= 500k."""
     best, best_qt = None, 128
-    for qt in sorted(cands):
+    for qt in sorted(_q_tile_candidates(l)):
         lp = _round_up(l, qt)
         if qt * lp > 500_000:
             continue
@@ -346,13 +353,10 @@ def attention_bwd_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     lkp = _round_up(lk, 16)
     if q_tile is None:
         # ~4 live fp32 (TQ, Lk) temporaries (scores/p/dp/ds); cap at 12 MB.
-        # Divisor tiles (round_up(ceil(lq/k), 16)) join the 128-multiples so
-        # stream_pad_len-aligned lengths (e.g. 1040 = 5 x 208) stay pad-free.
-        cands = {128, 256, 384, 512}
-        for kdiv in (1, 2, 3, 4, 5, 6):
-            cands.add(max(_round_up((lq + kdiv - 1) // kdiv, 16), 64))
+        # Shared candidate set (_q_tile_candidates) keeps stream_pad_len-
+        # aligned lengths (e.g. 1040 = 5 x 208) pad-free here too.
         best = None
-        for qt in sorted(cands):
+        for qt in sorted(_q_tile_candidates(lq)):
             if 4 * qt * lkp * 4 > 12 * 2 ** 20 and qt != 128:
                 continue
             key = (_round_up(lq, qt), -qt)
@@ -491,9 +495,10 @@ def cross_attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         # temporaries live (scores/ex/attn) plus double-buffered K/V; the
         # scoped-VMEM limit is ~24.25 MB and TQ=256 at Lk=5376 measured
         # 24.65 MB (compile OOM) — cap the score working set at 12 MB and
-        # break ties by least padding, largest tile.
+        # break ties by least padding, largest tile.  Candidates shared
+        # with the self-attention picks (_q_tile_candidates).
         best = None
-        for qt in (128, 256, 384, 512):
+        for qt in sorted(_q_tile_candidates(lq)):
             if 3 * qt * lkp * 4 > 12 * 2 ** 20 and qt != 128:
                 continue
             key = (_round_up(lq, qt), -qt)

@@ -113,12 +113,6 @@ def crf_inference_label(img: np.ndarray, labels_map: np.ndarray, t: int = 10,
 # JAX on-device mean field
 # ---------------------------------------------------------------------------
 
-def _gauss_kernel1d(sigma: float, radius: int):
-    import jax.numpy as jnp
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    return jnp.exp(-0.5 * (x / sigma) ** 2)
-
-
 def _gauss_band_matrix(n: int, sigma: float, radius: int):
     """(n, n) truncated-Gaussian band matrix: out = G @ x blurs a length-n
     axis exactly like the zero-padded 1-D convolution it replaces."""
