@@ -266,8 +266,12 @@ def mha_with_weights_pallas(
                                            score_dtype=policy.compute_dtype,
                                            export_weights=want_weights,
                                            out_dtype=cd)
-    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-    out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
+    # the out-projection contracts (h, dh) directly from the kernel's
+    # (B, H, L, Dh) layout — out_w[e, h*hd+dh] == w_o[e, h, dh] (heads are
+    # the major sub-axis of the packed feature dim), so this is the same
+    # GEMM without the explicit head-merge transpose copy
+    w_o = p.out_w.reshape(d, n_heads, hd).astype(cd)
+    out = jnp.einsum("bhld,ehd->ble", out.astype(cd), w_o,
                      preferred_element_type=cd)
     out = out + p.out_b.astype(cd)
     if valid is not None:
@@ -462,8 +466,10 @@ def mha_with_weights_fused(
     out, attn_mean = attention_core_diff(
         heads(qkv[0]).astype(jnp.float32), heads(qkv[1]).astype(jnp.float32),
         heads(qkv[2]).astype(jnp.float32), kmask, n_heads, cd, interpret)
-    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-    out = jnp.einsum("bld,ed->ble", out.astype(cd), p.out_w.astype(cd),
+    # contract (h, dh) straight from the kernel layout (see
+    # mha_with_weights_pallas) — jax differentiates the einsum exactly
+    w_o = p.out_w.reshape(d, n_heads, hd).astype(cd)
+    out = jnp.einsum("bhld,ehd->ble", out.astype(cd), w_o,
                      preferred_element_type=cd)
     out = out + p.out_b.astype(cd)
     if valid is not None:
