@@ -64,6 +64,6 @@ def test_coco_datasets(tmp_path):
 
     dsv = CocoSegDataset(cfg, split="val")
     exv = dsv[0]
-    assert exv["img"].shape[0] == 3
-    assert exv["label"].shape == exv["img"].shape[1:]
+    assert exv["img_raw"].shape[-1] == 3
+    assert exv["label"].shape == exv["img_raw"].shape[:2]
     assert exv["img_raw"].dtype == np.uint8

@@ -54,7 +54,7 @@ def exact_eval_one(params, frozen, cfg, ex, resize_long, scales):
     """Unpadded, per-image msc-flip evaluation using the library primitives
     at exact shapes (masks all-true) — the 'ground truth' for the engine."""
     import cv2
-    img = ex["img"]
+    img = ex["img"]                 # test-local float view (DS in this file)
     oh, ow = img.shape[1:]
     ratio = resize_long / max(oh, ow)
     h1, w1 = int(oh * ratio), int(ow * ratio)

@@ -110,3 +110,69 @@ def test_decoded_cache_roundtrip(tmp_path):
         np.testing.assert_array_equal(a["img"], b["img"])
         np.testing.assert_array_equal(a["img"], c["img"])
         np.testing.assert_array_equal(a["present_mask"], c["present_mask"])
+
+
+class AugToyDataset(ToyDataset):
+    """Augmentation-style dataset: output depends on the per-item RNG, so
+    thread-timing-dependent RNG sharing would break stream determinism."""
+
+    def get_example(self, i, rng):
+        return {"x": np.full((2, 2), rng.uniform(0, 1), np.float32),
+                "idx": np.int32(i)}
+
+
+def test_loader_augmentation_deterministic_across_threads():
+    """Same seed => byte-identical batches INCLUDING per-item augmentation
+    randomness, regardless of worker thread count (the loader passes a
+    per-item RNG seeded by (seed, stream position))."""
+    def take(num_threads, n=8):
+        loader = PrefetchLoader(AugToyDataset(12), batch_size=4, seed=3,
+                                num_threads=num_threads)
+        out = [next(loader) for _ in range(n)]
+        loader.close()
+        return out
+
+    a, b = take(1), take(3)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["x"], y["x"])
+        np.testing.assert_array_equal(x["idx"], y["idx"])
+
+
+class FailingDataset(ToyDataset):
+    def __getitem__(self, i):
+        if i == 5:
+            raise ValueError("corrupt example 5")
+        return super().__getitem__(i)
+
+
+def test_loader_worker_exception_propagates():
+    """A failing example must raise at the consumer, not hang the stream
+    (the worker forwards the exception with its sequence number)."""
+    loader = PrefetchLoader(FailingDataset(12), batch_size=4, seed=0,
+                            shuffle=False, num_threads=2)
+    with pytest.raises(ValueError, match="corrupt example 5"):
+        for _ in range(3):
+            next(loader)
+    loader.close()
+
+
+def test_loader_reorder_buffer_bounded():
+    """With one pathologically slow worker, the feeder's admission window
+    keeps the reorder buffer bounded (it used to grow without bound)."""
+    import time
+
+    class OneSlow(ToyDataset):
+        def __getitem__(self, i):
+            if i == 0:
+                time.sleep(0.8)
+            return super().__getitem__(i)
+
+    loader = PrefetchLoader(OneSlow(64), batch_size=4, seed=0, shuffle=False,
+                            num_threads=4, prefetch=2)
+    t0 = time.time()
+    first = next(loader)                  # blocks on the slow item
+    assert time.time() - t0 > 0.5
+    # admission window = num_threads + prefetch = 6
+    assert len(loader._reorder) <= 6
+    np.testing.assert_array_equal(first["idx"], [0, 1, 2, 3])
+    loader.close()

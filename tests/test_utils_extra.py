@@ -110,3 +110,32 @@ def test_available_models_lists_vit_b16():
     # OpenAI convention: digest is the second-to-last URL path segment
     for url in MODEL_URLS.values():
         assert len(url.split("/")[-2]) == 64
+
+
+def test_download_checkpoint_non_openai_url_without_digest(tmp_path):
+    """A URL outside the OpenAI catalog with no expected_sha256 must NOT be
+    verified against a bogus path segment (it used to raise 'expected
+    <dirname>'); it downloads with a warning instead, and a provided digest
+    is still enforced."""
+    import hashlib
+    from weclip_tpu.models.clip.loader import download_checkpoint, is_fetchable
+
+    src = tmp_path / "ckpts" / "mirror.pt"       # dirname is NOT the digest
+    src.parent.mkdir()
+    src.write_bytes(b"mirrored checkpoint")
+    url = "file://" + str(src)
+    root = tmp_path / "cache"
+
+    out = download_checkpoint(url, root=str(root))      # no digest: warns
+    assert (root / "mirror.pt").read_bytes() == src.read_bytes()
+
+    bad = hashlib.sha256(b"other").hexdigest()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="sha256"):
+        download_checkpoint(url, root=str(tmp_path / "c2"),
+                            expected_sha256=bad)
+
+    assert is_fetchable("ViT-B/16")
+    assert is_fetchable("https://host/x.pt")
+    assert not is_fetchable("/local/path.pt")
+    assert not is_fetchable("")

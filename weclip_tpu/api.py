@@ -57,10 +57,6 @@ class WeCLIPPipeline:
 
     def _example(self, image_rgb: np.ndarray,
                  class_ids: Optional[list] = None) -> Dict:
-        from weclip_tpu.data import transforms
-        img = transforms.normalize_img(
-            image_rgb, np.asarray(self.cfg.dataset.mean, np.float32),
-            np.asarray(self.cfg.dataset.std, np.float32))
         num_fg = self.cfg.dataset.num_classes - 1
         present = np.zeros(num_fg, bool)
         if class_ids is None:
@@ -69,7 +65,9 @@ class WeCLIPPipeline:
             for c in class_ids:
                 present[int(c)] = True
         oh, ow = image_rgb.shape[:2]
-        return {"name": "image", "img": np.transpose(img, (2, 0, 1)),
+        # normalization happens on device from the raw uint8 pixels
+        # (Evaluator.build_batch reads only img_raw)
+        return {"name": "image",
                 "img_raw": image_rgb.astype(np.uint8),
                 "label": np.zeros((oh, ow), np.int32),
                 "present_mask": present}

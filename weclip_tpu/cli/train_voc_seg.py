@@ -34,15 +34,18 @@ def main():
         """GT-supervised crops (flip + crop with label, voc.py:216-251)."""
 
         def __getitem__(self, idx):
-            import random
+            return self.get_example(idx, None)
+
+        def get_example(self, idx, rng):
             name = self.names[idx]
             image = self.read_image(name).astype(np.float32)
             label = self.read_label(name).astype(np.float32)
-            image, label = transforms.random_fliplr(image, label)
-            image = transforms.PhotoMetricDistortion()(image).astype(np.float32)
+            image, label = transforms.random_fliplr(image, label, rng=rng)
+            image = transforms.PhotoMetricDistortion()(
+                image, rng=rng).astype(np.float32)
             image, label, _ = transforms.random_crop(
                 image, self.cfg.crop_size, label,
-                ignore_index=self.cfg.ignore_index)
+                ignore_index=self.cfg.ignore_index, rng=rng)
             image = transforms.normalize_img(image)
             return {"img": np.transpose(image, (2, 0, 1)).astype(np.float32),
                     "label": label.astype(np.int32)}

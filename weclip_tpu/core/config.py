@@ -75,6 +75,9 @@ class OptimizerConfig:
 class ClipConfig:
     # reference: configs/voc_attn_reg.yaml:40-43
     pretrained_path: str = ""
+    # sha256 for checkpoint URLs outside the OpenAI catalog (whose digests
+    # are embedded in the URL); None skips verification with a warning
+    pretrained_sha256: Optional[str] = None
     embedding_dim: int = 256
     in_channels: int = 768                 # ViT-B/16 token width
     # ViT-B/16 architecture (clip/model.py:493-513 infers these from the ckpt)

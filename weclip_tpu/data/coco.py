@@ -62,14 +62,18 @@ class CocoClsDataset(CocoBase):
         self.rng = random.Random(seed)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.get_example(idx, self.rng)
+
+    def get_example(self, idx: int, rng) -> Dict[str, np.ndarray]:
+        """``rng``-explicit variant (see voc.py::VOCClsDataset.get_example)."""
         name = self.names[idx]
         # uint8 through scale/flip/crop (see voc.py): float math post-crop only
         image = np.asarray(self.read_image(name))
-        image = transforms.random_scaling(image, self.cfg.rescale_range, rng=self.rng)
-        image = transforms.random_fliplr(image, rng=self.rng)
+        image = transforms.random_scaling(image, self.cfg.rescale_range, rng=rng)
+        image = transforms.random_fliplr(image, rng=rng)
         image, img_box = transforms.random_crop(
             image, self.cfg.crop_size, ignore_index=self.cfg.ignore_index,
-            rng=self.rng)
+            rng=rng)
         image = transforms.normalize_img(
             image, np.asarray(self.cfg.mean, np.float32),
             np.asarray(self.cfg.std, np.float32))
@@ -97,12 +101,9 @@ class CocoSegDataset(CocoBase):
         image = self.read_image(name).astype(np.float32)
         label = self.read_label(name).astype(np.int32)
         present = class_set_from_label(label, self.cfg.num_classes - 1)
-        norm = transforms.normalize_img(
-            image, np.asarray(self.cfg.mean, np.float32),
-            np.asarray(self.cfg.std, np.float32))
+        # eval path normalizes on device from img_raw (see voc.py note)
         return {
             "name": name,
-            "img": np.transpose(norm, (2, 0, 1)).astype(np.float32),
             "img_raw": image.astype(np.uint8),
             "label": label,
             "present_mask": present,

@@ -5,15 +5,24 @@ Replaces the reference's torch DataLoader(num_workers=10, prefetch_factor=4)
 threads draw shuffled indices, run the numpy transform pipeline, and push
 collated batches into a bounded queue while the TPU steps.
 
-Batch order is deterministic: the feeder stamps every index batch with a
-sequence number, workers carry it through, and the consumer reorders — so
-``seed=`` implies a byte-identical batch stream regardless of thread count
-or timing (matching torch DataLoader's order preservation).
+Determinism: the feeder stamps every index batch with a sequence number,
+workers carry it through, and the consumer reorders — so batch ORDER is
+byte-identical for a given ``seed``.  Augmentation randomness is also
+timing-independent: datasets that expose ``get_example(idx, rng)`` (the
+training datasets) receive a fresh per-item ``random.Random`` seeded by
+(seed, seq, slot), so the augmented pixels do not depend on which thread
+picks up which batch (a shared dataset RNG consumed concurrently would).
+
+Robustness: the feeder admits at most ``num_threads + prefetch`` sequence
+numbers beyond the last consumed batch, so the consumer-side reorder buffer
+is bounded even when one worker is slow; a worker exception is forwarded to
+the consumer and re-raised instead of hanging the stream.
 """
 
 from __future__ import annotations
 
 import queue
+import random
 import threading
 from typing import Dict, Iterator, List
 
@@ -44,13 +53,16 @@ class PrefetchLoader:
                 f"dataset ({len(dataset)} examples) smaller than one batch "
                 f"({batch_size}) with drop_last=True — no batch would ever "
                 f"be produced")
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
+        self._window = num_threads + prefetch
         self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        self.idx_q: "queue.Queue" = queue.Queue(maxsize=prefetch * 2)
-        # consumer-side reorder buffer: seq -> batch.  Bounded by
-        # num_threads + prefetch (workers block on q.put once full).
+        self.idx_q: "queue.Queue" = queue.Queue(maxsize=self._window)
+        # consumer-side reorder buffer: seq -> batch.  Bounded by _window:
+        # the feeder never admits seq >= consumed + window (condition below).
         self._reorder: Dict[int, Dict[str, np.ndarray]] = {}
         self._next_seq = 0
+        self._admit = threading.Condition()
         self._stop = threading.Event()
         self._threads = [threading.Thread(target=self._worker, daemon=True)
                          for _ in range(num_threads)]
@@ -66,10 +78,24 @@ class PrefetchLoader:
             order = self.rng.permutation(n) if self.shuffle else np.arange(n)
             end = (n // self.batch_size) * self.batch_size if self.drop_last else n
             for s in range(0, end, self.batch_size):
+                with self._admit:
+                    while (seq >= self._next_seq + self._window
+                           and not self._stop.is_set()):
+                        self._admit.wait(timeout=0.5)
                 if self._stop.is_set():
                     return
                 self.idx_q.put((seq, order[s:s + self.batch_size]))
                 seq += 1
+
+    def _load_one(self, seq: int, slot: int, idx: int) -> Dict[str, np.ndarray]:
+        get = getattr(self.dataset, "get_example", None)
+        if get is not None:
+            # per-item RNG: augmentations are a pure function of
+            # (seed, stream position), independent of thread scheduling.
+            # Injective integer mix (Random() rejects tuple seeds on 3.12+).
+            item_seed = ((self._seed * (2 ** 64) + seq) * (2 ** 16)) + slot
+            return get(idx, random.Random(item_seed))
+        return self.dataset[idx]
 
     def _worker(self):
         while not self._stop.is_set():
@@ -77,7 +103,11 @@ class PrefetchLoader:
                 seq, idxs = self.idx_q.get(timeout=0.5)
             except queue.Empty:
                 continue
-            batch = collate([self.dataset[int(i)] for i in idxs])
+            try:
+                batch = collate([self._load_one(seq, j, int(i))
+                                 for j, i in enumerate(idxs)])
+            except Exception as exc:  # forward to the consumer (no hangs)
+                batch = exc
             while not self._stop.is_set():
                 try:
                     self.q.put((seq, batch), timeout=0.5)
@@ -88,10 +118,20 @@ class PrefetchLoader:
     def _get_ordered(self) -> Dict[str, np.ndarray]:
         # single consumer: no lock needed on the reorder buffer
         while self._next_seq not in self._reorder:
-            seq, batch = self.q.get()
+            if self._stop.is_set():
+                raise StopIteration
+            try:
+                seq, batch = self.q.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            if isinstance(batch, Exception):
+                self.close()
+                raise batch
             self._reorder[seq] = batch
         batch = self._reorder.pop(self._next_seq)
         self._next_seq += 1
+        with self._admit:
+            self._admit.notify_all()
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -103,3 +143,5 @@ class PrefetchLoader:
 
     def close(self):
         self._stop.set()
+        with self._admit:
+            self._admit.notify_all()

@@ -128,29 +128,37 @@ class PhotoMetricDistortion:
         img = img.astype(np.float32) * alpha + beta
         return np.clip(img, 0, 255).astype(np.uint8)
 
-    def __call__(self, img: np.ndarray) -> np.ndarray:
+    def __call__(self, img: np.ndarray,
+                 rng: Optional[random.Random] = None) -> np.ndarray:
         import cv2
+        # rng-explicit for deterministic loading (loader.py per-item RNG);
+        # default keeps the legacy shared global streams
+        coin = ((lambda: rng.getrandbits(1)) if rng is not None
+                else (lambda: int(np.random.randint(2))))
+        uni = (rng.uniform if rng is not None else random.uniform)
+        irand = ((lambda a, b: rng.randint(a, b - 1)) if rng is not None
+                 else (lambda a, b: int(np.random.randint(a, b))))
         img = img.astype(np.uint8)
-        if np.random.randint(2):
-            img = self._convert(img, beta=random.uniform(
+        if coin():
+            img = self._convert(img, beta=uni(
                 -self.brightness_delta, self.brightness_delta))
-        mode = np.random.randint(2)
-        if mode == 1 and np.random.randint(2):
-            img = self._convert(img, alpha=random.uniform(
+        mode = coin()
+        if mode == 1 and coin():
+            img = self._convert(img, alpha=uni(
                 self.contrast_lower, self.contrast_upper))
-        if np.random.randint(2):
+        if coin():
             hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
             hsv[:, :, 1] = self._convert(
-                hsv[:, :, 1], alpha=random.uniform(self.saturation_lower,
-                                                   self.saturation_upper))
+                hsv[:, :, 1], alpha=uni(self.saturation_lower,
+                                        self.saturation_upper))
             img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
-        if np.random.randint(2):
+        if coin():
             hsv = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
-            hsv[:, :, 0] = (hsv[:, :, 0].astype(int) + np.random.randint(
+            hsv[:, :, 0] = (hsv[:, :, 0].astype(int) + irand(
                 -self.hue_delta, self.hue_delta)) % 180
             img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
-        if mode == 0 and np.random.randint(2):
-            img = self._convert(img, alpha=random.uniform(
+        if mode == 0 and coin():
+            img = self._convert(img, alpha=uni(
                 self.contrast_lower, self.contrast_upper))
         return img
 

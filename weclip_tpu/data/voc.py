@@ -107,15 +107,21 @@ class VOCClsDataset(VOCBase):
         self.rng = random.Random(seed)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.get_example(idx, self.rng)
+
+    def get_example(self, idx: int, rng) -> Dict[str, np.ndarray]:
+        """``rng``-explicit variant: PrefetchLoader passes a per-item RNG so
+        augmentations are a pure function of (seed, stream position),
+        independent of worker-thread scheduling."""
         name = self.names[idx]
         # stay uint8 through scale/flip/crop; normalize_img casts after the
         # crop so the float work happens on crop_size^2, not full-res pixels
         image = np.asarray(self.read_image(name))
-        image = transforms.random_scaling(image, self.cfg.rescale_range, rng=self.rng)
-        image = transforms.random_fliplr(image, rng=self.rng)
+        image = transforms.random_scaling(image, self.cfg.rescale_range, rng=rng)
+        image = transforms.random_fliplr(image, rng=rng)
         image, img_box = transforms.random_crop(
             image, self.cfg.crop_size, ignore_index=self.cfg.ignore_index,
-            rng=self.rng)
+            rng=rng)
         image = transforms.normalize_img(
             image, np.asarray(self.cfg.mean, np.float32),
             np.asarray(self.cfg.std, np.float32))
@@ -154,12 +160,12 @@ class VOCSegDataset(VOCBase):
         else:
             label = self.read_label(name).astype(np.int32)
             present = class_set_from_label(label, self.cfg.num_classes - 1)
-        norm = transforms.normalize_img(
-            image, np.asarray(self.cfg.mean, np.float32),
-            np.asarray(self.cfg.std, np.float32))
+        # no normalized float copy here: the eval engine ships the raw uint8
+        # original and normalizes on device (Evaluator.build_batch reads
+        # only img_raw) — computing full-res fp32 pixels per example was
+        # pure host waste on the exact path the uint8 pipeline optimizes
         return {
             "name": name,
-            "img": np.transpose(norm, (2, 0, 1)).astype(np.float32),
             "img_raw": image.astype(np.uint8),
             "label": label,
             "cls_label": np.asarray(self.cls_labels.get(name, 0), np.uint8),

@@ -189,7 +189,8 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
         feats, head_out, attn_pred, _ = weclip.backbone_and_heads(
             params, frozen, batch2, cfg, None, policy,
             with_attn=with_cam,       # seg-only mode skips the map export
-            attn_rows=b)              # flipped half's maps are never used
+            attn_rows=b,              # flipped half's maps are never used
+            decoder_pallas=True)      # gradient-free: fused decoder is safe
 
         k = cfg.dataset.num_classes
         seg = head_out.seg.reshape(2 * b, g, g, k).transpose(0, 3, 1, 2)
@@ -281,7 +282,8 @@ def make_eval_scale2(cfg: Config, policy: precision.Policy = precision.DEFAULT,
             present_mask=jnp.concatenate([present_mask, present_mask]),
         )
         _, head_out, _, _ = weclip.backbone_and_heads(
-            params, frozen, batch2, cfg, None, policy, with_attn=False)
+            params, frozen, batch2, cfg, None, policy, with_attn=False,
+            decoder_pallas=True)
         k = cfg.dataset.num_classes
         seg = head_out.seg.reshape(2 * b, g, g, k).transpose(0, 3, 1, 2)
         seg_fl = jax.vmap(lambda x, w: _flip_valid(x, w, 2))(seg[b:], sb.gw)

@@ -121,17 +121,29 @@ def available_models():
     return list(MODEL_URLS)
 
 
+def is_fetchable(path: str) -> bool:
+    """True when ``path`` names a downloadable checkpoint: a MODEL_URLS key
+    or an http(s) URL.  Single source of truth for callers that decide
+    between fetching and local-file/random-init fallbacks."""
+    return bool(path) and (path in MODEL_URLS
+                           or path.startswith(("http://", "https://")))
+
+
 def download_checkpoint(name_or_url: str, root: str = None,
                         expected_sha256: str = None) -> str:
     """sha256-verified checkpoint fetch (reference clip/clip.py:44-73).
 
     ``name_or_url``: a key of MODEL_URLS (e.g. "ViT-B/16") or a direct URL.
-    The expected digest defaults to the second-to-last URL path segment,
-    OpenAI's convention; pass ``expected_sha256`` explicitly for other
-    hosts.  Returns the local file path; an existing file with a matching
-    digest is reused without re-downloading.
+    OpenAI catalog URLs embed their digest as the second-to-last path
+    segment and are always verified; for other hosts pass
+    ``expected_sha256`` — without it the download is used unverified (with
+    a warning) rather than failing against a bogus path segment.
+    Returns the local file path; an existing file with a matching digest
+    (or any existing file, when unverified) is reused without
+    re-downloading.
     """
     import hashlib
+    import logging
     import os
     import urllib.request
 
@@ -139,7 +151,13 @@ def download_checkpoint(name_or_url: str, root: str = None,
     root = root or os.path.expanduser("~/.cache/weclip_tpu")
     os.makedirs(root, exist_ok=True)
     target = os.path.join(root, os.path.basename(url))
-    digest = expected_sha256 or url.split("/")[-2]
+    digest = expected_sha256
+    if digest is None and url in MODEL_URLS.values():
+        digest = url.split("/")[-2]          # OpenAI URL convention
+    if digest is None:
+        logging.getLogger("weclip_tpu").warning(
+            "no sha256 provided for checkpoint URL %s — the download will "
+            "NOT be verified (set ClipConfig.pretrained_sha256)", url)
 
     def _file_sha256(p):
         h = hashlib.sha256()
@@ -148,7 +166,8 @@ def download_checkpoint(name_or_url: str, root: str = None,
                 h.update(chunk)
         return h.hexdigest()
 
-    if os.path.isfile(target) and _file_sha256(target) == digest:
+    if os.path.isfile(target) and (digest is None
+                                   or _file_sha256(target) == digest):
         return target
     tmp = target + ".part"
     h = hashlib.sha256()
@@ -159,7 +178,7 @@ def download_checkpoint(name_or_url: str, root: str = None,
                 break
             h.update(buf)
             out.write(buf)
-    if h.hexdigest() != digest:
+    if digest is not None and h.hexdigest() != digest:
         os.remove(tmp)
         raise RuntimeError(
             f"checkpoint download from {url} failed sha256 verification "
@@ -169,12 +188,14 @@ def download_checkpoint(name_or_url: str, root: str = None,
 
 
 def load_clip(path: str, base: ClipConfig = None,
-              download_root: str = None) -> Tuple[Dict[str, Any], ClipConfig]:
+              download_root: str = None,
+              expected_sha256: str = None) -> Tuple[Dict[str, Any], ClipConfig]:
     """``path`` may be a local file, a MODEL_URLS name, or an http(s) URL —
     the latter two are fetched via ``download_checkpoint``."""
     import os
-    if path in MODEL_URLS or path.startswith(("http://", "https://")):
-        path = download_checkpoint(path, root=download_root)
+    if is_fetchable(path):
+        path = download_checkpoint(path, root=download_root,
+                                   expected_sha256=expected_sha256)
     elif not os.path.exists(path):
         raise FileNotFoundError(
             f"CLIP checkpoint {path!r} not found (pass a local file, a "

@@ -72,13 +72,19 @@ def backbone_and_heads(
     policy: precision.Policy,
     with_attn: bool = True,
     attn_rows: Optional[int] = None,
+    decoder_pallas: bool = False,
 ):
     """Frozen CLIP forward + fuse/decoder/affinity heads.
 
     ``with_attn=False`` for seg-only forwards (no CAM chain downstream):
     the frozen forward skips the attention-map export.  ``attn_rows``
     limits the export to the first k batch rows (msc-flip: the flipped
-    half's maps are never consumed).
+    half's maps are never consumed).  ``decoder_pallas`` opts the decoder
+    attention into the fused Pallas kernel — ONLY gradient-free callers
+    (the eval engine) may set it: the kernel defines no VJP, and
+    "dropout_rng is None" does NOT imply gradient-free (deterministic
+    training differentiates this forward with rng=None — conflating the
+    two crashed on TPU, caught in the round-3 review).
 
     Returns (feats, head_out, attn_pred, valid_p)."""
     feats = vit.vision_forward_frozen(
@@ -112,16 +118,16 @@ def backbone_and_heads(
         seg, dec_attn = heads.decoder_forward(params["head"]["decoder"], fused,
                                               valid_p=batch.valid[:, 1:],
                                               policy=head_policy,
-                                              allow_pallas=dropout_rng is None)
+                                              allow_pallas=decoder_pallas)
         head_out = heads.HeadOutputs(seg, fused, dec_attn)
     else:
-        # gradient-free callers (dropout off == eval) may fuse the decoder
-        # attention and drop its dead map export
+        # gradient-free callers (decoder_pallas=True == eval engine) fuse
+        # the decoder attention and drop its dead map export
         head_out = heads.head_forward(params["head"], layer_tokens,
                                       dropout_rng=dropout_rng,
                                       valid_p=batch.valid[:, 1:],
                                       policy=head_policy,
-                                      allow_pallas=dropout_rng is None)
+                                      allow_pallas=decoder_pallas)
     attn_pred = aff.gram_affinity(head_out.fused, valid_p)
     return feats, head_out, attn_pred, valid_p
 

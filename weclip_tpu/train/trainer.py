@@ -36,13 +36,12 @@ log = logging.getLogger("weclip_tpu")
 
 def build_frozen(cfg: Config, rng_seed: int = 0):
     """Load (or randomly init, for dev) the frozen CLIP + text features."""
-    fetchable = cfg.clip.pretrained_path and (
-        cfg.clip.pretrained_path in clip_loader.MODEL_URLS
-        or cfg.clip.pretrained_path.startswith(("http://", "https://")))
+    fetchable = clip_loader.is_fetchable(cfg.clip.pretrained_path)
     if fetchable or (cfg.clip.pretrained_path
                      and os.path.exists(cfg.clip.pretrained_path)):
-        clip_params, clip_cfg = clip_loader.load_clip(cfg.clip.pretrained_path,
-                                                      cfg.clip)
+        clip_params, clip_cfg = clip_loader.load_clip(
+            cfg.clip.pretrained_path, cfg.clip,
+            expected_sha256=cfg.clip.pretrained_sha256)
         cfg = dataclasses.replace(cfg, clip=clip_cfg)
         from weclip_tpu.models.clip.tokenizer import Tokenizer
         tok = Tokenizer()
