@@ -55,7 +55,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
                   pad_ref, band_ref, last_dy_ref, *,
-                  d: int, h: int, w_pad: int, compute_dtype):
+                  d: int, h: int, w_pad: int):
     """The whole PAR propagation for one (batch, channel-tile) block.
 
     Grid axes: (bi, ci, it, k).  out_ref is the revisited accumulator; at
@@ -74,7 +74,6 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
         cols = jax.lax.dot_general(
             src, cmat_ref[...], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # (CT, h, WP)
-        cols = cols.astype(compute_dtype)
         ct, _, wp = cols.shape
         hp = pad_ref.shape[1]
         # rows: statically 8-aligned sublane broadcasts (d % 8 == 0)
@@ -97,8 +96,7 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
 
     wp = band_ref.shape[2]
     shifted = pltpu.roll(band_ref[...], (-(d + dx)) % wp, 2)[:, :, 0:w_pad]
-    contrib = (shifted.astype(jnp.float32)
-               * aff_ref[0, 0][None].astype(jnp.float32))
+    contrib = shifted * aff_ref[0, 0][None].astype(jnp.float32)
 
     @pl.when(k == 0)
     def _():
@@ -139,9 +137,12 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
                       compute_dtype=jnp.float32) -> jax.Array:
     """Drop-in replacement for refine.par.par_refine (same semantics).
 
-    ``compute_dtype=jnp.bfloat16`` is an opt-in speed mode: masks/affinity
-    stream and roll at half the bytes with an fp32 accumulator (reference
-    PAR is fp32, so the parity default stays fp32)."""
+    ``compute_dtype=jnp.bfloat16`` narrows the HBM-side input streams
+    (initial masks, per-neighbor affinity slabs) to half the bytes; all
+    in-VMEM math — roll scratch, MACs, accumulator — stays fp32 (Mosaic
+    cannot rotate non-32-bit data, and the kernel is VPU-issue-bound on
+    the rolls, so narrowing VMEM would not pay anyway).  Reference PAR is
+    fp32, so the parity default stays fp32."""
     if c_tile is None:
         c_tile = _pick_c_tile(masks.shape[1])
     hm, wm = masks.shape[-2], masks.shape[-1]
@@ -202,14 +203,16 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
                                lambda bi, ci, it, ki, dys, dxs: (bi, ci, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c_tile, hp, wp), compute_dtype),  # padded source
-            pltpu.VMEM((c_tile, h, wp), compute_dtype),   # row-rolled band
+            # roll scratch is ALWAYS fp32: Mosaic has no non-32-bit rotate
+            # ("Rotate with non-32-bit data"), so a bf16 band cannot compile
+            # on TPU — compute_dtype narrows only the HBM-side streams
+            pltpu.VMEM((c_tile, hp, wp), jnp.float32),    # padded source
+            pltpu.VMEM((c_tile, h, wp), jnp.float32),     # row-rolled band
             pltpu.SMEM((1,), jnp.int32),                  # last dy
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, d=d, h=h, w_pad=w_pad,
-                          compute_dtype=compute_dtype),
+        functools.partial(_fused_kernel, d=d, h=h, w_pad=w_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, cp, h, w_pad), jnp.float32),
         # v5e has 128MB physical VMEM; the default 16MB scoped limit forces
