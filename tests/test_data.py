@@ -106,3 +106,39 @@ def test_seg_dataset_missing_label_fallback(tmp_path):
     ex = ds[0]
     assert set(np.unique(ex["label"])) == {255}
     assert ex["label"].shape == (40, 60)
+
+
+def test_photometric_distortion_matches_reference():
+    """Seeded-RNG lockstep vs the reference's mmseg-derived
+    PhotoMetricDistortion (datasets/transforms.py:178-264): identical
+    global np.random/random streams must yield byte-identical pixels —
+    pinning both the random-branch ORDER and the RGB-through-bgr2hsv
+    quirk.  mmcv is stubbed with cv2 (mmcv's own colorspace backend)."""
+    import random
+    import sys
+    import types
+
+    import cv2
+
+    from tests.test_reference_golden import _install_reference
+    _install_reference()
+    if "mmcv" not in sys.modules:
+        m = types.ModuleType("mmcv")
+        m.bgr2hsv = lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV)
+        m.hsv2bgr = lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR)
+        sys.modules["mmcv"] = m
+    from datasets import transforms as ref_t
+
+    r = np.random.default_rng(0)
+    img = r.integers(0, 256, (24, 32, 3), np.uint8)
+    hit = np.zeros(2, int)
+    for seed in range(12):
+        np.random.seed(seed)
+        random.seed(seed)
+        ref_out = ref_t.PhotoMetricDistortion()(img.copy())
+        np.random.seed(seed)
+        random.seed(seed)
+        ours = transforms.PhotoMetricDistortion()(img.copy())
+        np.testing.assert_array_equal(ours, ref_out)
+        hit[int(np.array_equal(ours, img))] += 1
+    assert hit[0] > 0        # at least one seed actually distorted

@@ -69,3 +69,39 @@ def test_encode_text_matches_torch(rng):
     ours = np.asarray(vit.encode_text(params, jnp.asarray(tokens), cfg.clip))
     ref = torch_encode_text(params, tokens, cfg.clip.transformer_heads)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_build_text_features_zeroshot_tables(tmp_path):
+    """build_text_features runs the prompt tables through the text encoder
+    (model_attn_aff_voc.py:34-46,81-82): per-class unit-norm rows whose
+    single-template value equals the normalized encode_text embedding of
+    'a clean origami {name}.'."""
+    import dataclasses
+    from tests.test_tokenizer import make_tiny_vocab
+    from weclip_tpu.models.clip import prompts
+    from weclip_tpu.models.clip.tokenizer import Tokenizer, tokenize
+
+    tok = Tokenizer(make_tiny_vocab(tmp_path), n_merges=7)
+    cfg = dataclasses.replace(tiny.tiny_clip_config(),
+                              vocab_size=tok.eot + 1, context_length=77)
+    tp = vit.init_text_params(jax.random.PRNGKey(3), cfg)
+
+    fg, bg = prompts.build_text_features("voc", tp, cfg, tok)
+    assert fg.shape == (20, cfg.embed_dim) and fg.dtype == np.float32
+    assert bg.shape == (25, cfg.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(fg, axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(bg, axis=-1), 1.0, atol=1e-5)
+
+    # single-template oracle for one class row
+    name = prompts.NEW_CLASS_NAMES_VOC[7]          # 'cat'
+    toks = tokenize([f"a clean origami {name}."], tok, cfg.context_length)
+    emb = np.asarray(vit.encode_text(tp, jnp.asarray(toks), cfg))[0]
+    emb = emb / np.linalg.norm(emb)
+    np.testing.assert_allclose(fg[7], emb, atol=1e-5)
+
+    fgc, bgc = prompts.build_text_features("coco", tp, cfg, tok)
+    assert fgc.shape == (80, cfg.embed_dim) and bgc.shape == (23, cfg.embed_dim)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prompts.class_tables("cityscapes")

@@ -139,3 +139,16 @@ def test_download_checkpoint_non_openai_url_without_digest(tmp_path):
     assert is_fetchable("https://host/x.pt")
     assert not is_fetchable("/local/path.pt")
     assert not is_fetchable("")
+
+
+def test_average_meter_parity():
+    """AverageMeter add/get/pop running means (utils/AverageMeter.py API)."""
+    from weclip_tpu.utils.meters import AverageMeter
+    m = AverageMeter("loss")
+    m.add({"loss": 2.0, "acc": 0.5})
+    m.add({"loss": 4.0})
+    assert m.get("loss") == 3.0
+    assert m.get("acc") == 0.5
+    assert m.pop("loss") == 3.0
+    m.add({"loss": 10.0})
+    assert m.get("loss") == 10.0          # pop resets the window

@@ -38,10 +38,12 @@ def main():
             path = os.path.join(args.root, "SegmentationClass", split,
                                 stripped + ".png")
             lab = np.asarray(Image.open(path))
-            onehot = np.zeros(args.num_classes, np.uint8)
+            # same blob format as VOC (make_voc_labels.py): (num_fg,)
+            # float32, foreground index = class_id - 1
+            onehot = np.zeros(args.num_classes - 1, np.float32)
             ids = np.unique(lab)
             ids = ids[(ids != 0) & (ids != 255)]
-            onehot[ids] = 1
+            onehot[ids - 1] = 1
             out[name] = onehot
         print(f"{split}: {len(names)} images")
 

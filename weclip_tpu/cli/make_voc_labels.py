@@ -51,10 +51,12 @@ def main():
         if not os.path.exists(path):
             path = os.path.join(args.root, "SegmentationClass", name + ".png")
         lab = np.asarray(Image.open(path))
-        onehot = np.zeros(args.num_classes, np.uint8)
+        # reference blob format (datasets/voc/cls_labels_onehot.npy):
+        # (num_fg,) float32, foreground index = class_id - 1
+        onehot = np.zeros(args.num_classes - 1, np.float32)
         ids = np.unique(lab)
         ids = ids[(ids != 0) & (ids != 255)]
-        onehot[ids] = 1
+        onehot[ids - 1] = 1
         out[name] = onehot
     dst = os.path.join(args.name_list_dir, "cls_labels_onehot.npy")
     np.save(dst, out)
