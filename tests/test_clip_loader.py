@@ -1,0 +1,65 @@
+"""load_clip file path: torch .pt -> state dict -> inferred config + params
+(clip/clip.py:120-143 load semantics incl. the `module.` prefix strip)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_reference_golden import REF, _install_reference
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not present")
+
+
+def _tiny_reference_sd():
+    _install_reference()
+    import torch
+    from clip.model import CLIP
+    torch.manual_seed(0)
+    model = CLIP(embed_dim=32, image_resolution=224, vision_layers=3,
+                 vision_width=64, vision_patch_size=16, context_length=16,
+                 vocab_size=64, transformer_width=32, transformer_heads=2,
+                 transformer_layers=2).float().eval()
+    return model.state_dict()
+
+
+def test_load_clip_from_pt_file_with_module_prefix(tmp_path):
+    import torch
+    from weclip_tpu.core.config import ClipConfig
+    from weclip_tpu.models.clip.loader import (infer_config, load_clip,
+                                               params_from_state_dict)
+
+    sd = _tiny_reference_sd()
+    # DDP-style prefixes, as clip.load tolerates (clip/clip.py:140-143)
+    torch.save({"module." + k: v for k, v in sd.items()},
+               tmp_path / "tiny.pt")
+
+    params, cfg = load_clip(str(tmp_path / "tiny.pt"))
+    assert cfg.vision_width == 64 and cfg.vision_layers == 3
+    assert cfg.patch_size == 16 and cfg.embed_dim == 32
+    assert cfg.transformer_layers == 2 and cfg.vocab_size == 64
+
+    # the transplant must equal the direct state-dict path
+    np_sd = {k: v.float().numpy() for k, v in sd.items()}
+    direct = params_from_state_dict(np_sd, infer_config(np_sd, ClipConfig()))
+    flat_a, _ = _flatten(params)
+    flat_b, _ = _flatten(direct)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k], err_msg=k)
+
+
+def _flatten(tree, prefix=""):
+    import jax
+    leaves = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        leaves[jax.tree_util.keystr(path)] = np.asarray(leaf)
+    return leaves, None
+
+
+def test_load_clip_missing_file_raises(tmp_path):
+    from weclip_tpu.models.clip.loader import load_clip
+    with pytest.raises(FileNotFoundError, match="not found"):
+        load_clip(str(tmp_path / "nope.pt"))

@@ -94,3 +94,35 @@ def test_metric_hist_allgather():
     preds = jax.device_put(pred, meshlib.batch_sharding(mesh, 3))
     h_sharded = confusion_update(zero_hist(6), gts, preds, num_classes=6)
     np.testing.assert_array_equal(np.asarray(h_all), np.asarray(h_sharded))
+
+
+def test_mesh_utils_and_collective_helpers():
+    """make_mesh shapes, local_batch_size, and the psum/pmean/all_gather
+    helpers under shard_map on the fake 8-device mesh."""
+    import numpy as np
+    from functools import partial
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from weclip_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.make_mesh(data_parallel=4, model_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    assert meshlib.local_batch_size(mesh, 16) == 4
+
+    x = np.arange(8, dtype=np.float32).reshape(8, 1)
+    dmesh = meshlib.make_mesh()                       # all devices, (8, 1)
+    xd = meshlib.shard_batch(dmesh, x)
+    assert xd.sharding.spec == P("data", None)
+
+    @partial(shard_map, mesh=dmesh, in_specs=P("data", None),
+             out_specs=(P("data", None), P("data", None), P("data", None)))
+    def f(xs):
+        return (meshlib.psum(xs), meshlib.pmean(xs),
+                meshlib.all_gather(xs).reshape(1, -1))
+
+    s, m, g = f(xd)
+    np.testing.assert_allclose(np.asarray(s), np.full((8, 1), x.sum()))
+    np.testing.assert_allclose(np.asarray(m), np.full((8, 1), x.mean()))
+    np.testing.assert_allclose(np.asarray(g), np.tile(x.T, (8, 1)))

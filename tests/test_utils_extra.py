@@ -152,3 +152,88 @@ def test_average_meter_parity():
     assert m.pop("loss") == 3.0
     m.add({"loss": 10.0})
     assert m.get("loss") == 10.0          # pop resets the window
+
+
+def test_metrics_match_reference_evaluate():
+    """confusion_update + scores and pseudo_scores vs the reference's
+    utils/evaluate.py (same hists, same score dicts, incl. the
+    pred==255 -> gt-masking quirk in pseudo scoring)."""
+    import sys
+    import types
+
+    from tests.test_reference_golden import REF, _install_reference
+    _install_reference()
+    if "sklearn" not in sys.modules:          # evaluate.py header import
+        sk = types.ModuleType("sklearn")
+        skm = types.ModuleType("sklearn.metrics")
+        sk.metrics = skm
+        sys.modules["sklearn"] = sk
+        sys.modules["sklearn.metrics"] = skm
+    from utils import evaluate as ref_eval
+
+    import jax.numpy as jnp
+
+    from weclip_tpu.evalx import metrics
+
+    r = np.random.default_rng(3)
+    k = 6
+    gts = [r.integers(0, k, (10, 12)).astype(np.int64) for _ in range(3)]
+    gts[0][0, :4] = 255                       # ignore pixels
+    preds = [r.integers(0, k, (10, 12)).astype(np.int64) for _ in range(3)]
+
+    hist = np.asarray(metrics.zero_hist(k))
+    for gt, pr in zip(gts, preds):
+        hist = np.asarray(metrics.confusion_update(
+            jnp.asarray(hist), jnp.asarray(gt), jnp.asarray(pr), k))
+    ref_hist, ref_scores = ref_eval.scores(gts, preds, np.zeros((k, k)), k)
+    np.testing.assert_array_equal(hist, ref_hist)
+    ours = metrics.scores(hist)
+    for key in ("pAcc", "mAcc", "miou"):
+        np.testing.assert_allclose(ours[key], ref_scores[key], rtol=1e-12)
+
+    # pseudo scoring: predicted 255 masks the gt pixel
+    preds255 = [np.where(r.random(p.shape) < 0.2, 255, p) for p in preds]
+    ref_ps = ref_eval.pseudo_scores(
+        [g.copy() for g in gts], [p.copy() for p in preds255], k)
+    our_ps = metrics.pseudo_scores(
+        [g.copy() for g in gts], [p.copy() for p in preds255], k)
+    for key in ("pAcc", "mAcc", "miou"):
+        np.testing.assert_allclose(our_ps[key], ref_ps[key], rtol=1e-12)
+
+
+def test_imutils_match_reference():
+    """VOC palette + encode_cmap + denormalize against the reference's
+    utils/imutils.py; smoke the TB grid renderers."""
+    from tests.test_reference_golden import _install_reference
+    _install_reference()
+    from utils import imutils as ref_im
+
+    from weclip_tpu.utils import imutils
+
+    np.testing.assert_array_equal(imutils.colormap(), ref_im.colormap())
+    r = np.random.default_rng(5)
+    lab = r.integers(0, 21, (9, 11))
+    lab[0, 0] = 255
+    np.testing.assert_array_equal(imutils.encode_cmap(lab),
+                                  ref_im.encode_cmap(lab))
+
+    import torch
+    # in-range values: identical.  (Out-of-range: the reference's uint8
+    # cast WRAPS (265 -> 9, imutils.py:16); ours clips — viz-only fix.)
+    img = (r.standard_normal((2, 3, 8, 8)) * 0.5).astype(np.float32)
+    ours = imutils.denormalize_img(img)
+    ref = ref_im.denormalize_img(torch.from_numpy(img.copy())).numpy()
+    np.testing.assert_array_equal(ours, ref)
+    hot = np.full((1, 3, 2, 2), 3.0, np.float32)          # denorm > 255
+    assert imutils.denormalize_img(hot).max() == 255      # clipped, not wrapped
+
+    # grid renderers: shape/type smoke (reference needs torchvision; the
+    # semantics here are visualization-only)
+    imgs = r.integers(0, 255, (4, 3, 16, 16)).astype(np.uint8)
+    grid = imutils.make_grid(imgs, nrow=2)
+    assert grid.shape == (3, 2 * 18 + 2, 2 * 18 + 2) and grid.dtype == np.uint8
+    np.testing.assert_array_equal(grid[:, 2:18, 2:18], imgs[0])
+    cams = r.random((4, 1, 16, 16)).astype(np.float32)
+    gi, gc = imutils.tensorboard_image(
+        (imgs.astype(np.float32) - 120.0) / 60.0, cams)
+    assert gi.shape == grid.shape and gc.shape == grid.shape
