@@ -145,16 +145,31 @@ def test_eval_cli_restores_and_saves_artifacts(voc_tree, tiny_cfg, trained):
                                        "img00.png"))
 
 
-def test_train_voc_seg_cli(voc_tree, tiny_cfg):
-    """Fully-supervised seg-variant trainer (train/seg_step.py)."""
+@pytest.fixture(scope="module")
+def seg_trained(voc_tree, tiny_cfg):
+    """Run the fully-supervised seg-variant trainer (train/seg_step.py)."""
     from weclip_tpu.cli import train_voc_seg
-    from weclip_tpu.train.checkpoint import latest_step
     work = str(voc_tree / "work_seg")
     with _argv(["train_voc_seg", "--config", tiny_cfg, "--work_dir", work]):
         train_voc_seg.main()
     # checkpoints land in a timestamped run dir (apply_train_args)
     runs = glob.glob(os.path.join(work, "checkpoints", "*"))
-    assert runs and latest_step(runs[-1]) == 2
+    assert runs
+    return runs[-1]
+
+
+def test_train_voc_seg_cli(seg_trained):
+    from weclip_tpu.train.checkpoint import latest_step
+    assert latest_step(seg_trained) == 2
+
+
+def test_eval_seg_cli(voc_tree, tiny_cfg, seg_trained):
+    """Seg-variant msc-flip eval driver (test_msc_flip_seg.py parity) on
+    the CLI-trained seg checkpoint."""
+    from weclip_tpu.cli import eval_seg
+    with _argv(["eval_seg", "--config", tiny_cfg, "--model_path", seg_trained,
+                "--resize_long", "64", "--max_images", "2", "--mesh", "1"]):
+        eval_seg.main()
 
 
 def test_generate_cams_cli(voc_tree, tiny_cfg):
@@ -189,3 +204,98 @@ def test_make_voc_labels_cli(voc_tree, tmp_path):
     for n in d:
         assert d[n].shape == (20,) and d[n].dtype == np.float32
         np.testing.assert_array_equal(d[n], ref[n])
+
+
+COCO_TRAIN = [f"COCO_train2014_{i:012d}" for i in range(16)]
+COCO_VAL = [f"COCO_val2014_{i:012d}" for i in range(4)]
+
+
+@pytest.fixture(scope="module")
+def coco_tree(tmp_path_factory):
+    """COCO-2014 VOC-style layout (data/coco.py): prefix-stripped label
+    names, train/val subdirs."""
+    root = tmp_path_factory.mktemp("coco_e2e")
+    r = np.random.default_rng(1)
+    for split, names in (("train", COCO_TRAIN), ("val", COCO_VAL)):
+        (root / "JPEGImages" / split).mkdir(parents=True)
+        (root / "SegmentationClass" / split).mkdir(parents=True)
+        for n in names:
+            Image.fromarray(
+                r.integers(0, 255, (40, 60, 3), dtype=np.uint8)).save(
+                    root / "JPEGImages" / split / f"{n}.jpg")
+            lab = np.zeros((40, 60), np.uint8)
+            lab[5:20, 5:30] = 7
+            stripped = n[15:] if split == "train" else n[13:]
+            Image.fromarray(lab, mode="L").save(
+                root / "SegmentationClass" / split / f"{stripped}.png")
+    (root / "lists").mkdir()
+    (root / "lists" / "train.txt").write_text("\n".join(COCO_TRAIN))
+    (root / "lists" / "val.txt").write_text("\n".join(COCO_VAL))
+    path = root / "tiny_coco.yaml"
+    path.write_text(f"""
+dataset:
+  name: coco
+  root_dir: {root}
+  name_list_dir: {root}/lists
+  crop_size: 64
+  num_classes: 81
+clip:
+  patch_size: 16
+  vision_width: 64
+  vision_layers: 12
+  vision_heads: 2
+  embedding_dim: 32
+  embed_dim: 32
+  context_length: 16
+  vocab_size: 128
+  transformer_width: 32
+  transformer_heads: 2
+  transformer_layers: 2
+train:
+  split: train
+  samples_per_gpu: 2
+  max_iters: 2
+  log_iters: 1
+  eval_iters: 2
+  ckpt_start_iter: 1
+par:
+  dilations: [1, 2]
+  num_iter: 3
+eval:
+  batch_images: 2
+work_dir:
+  dir: {root}/work
+""")
+    return root, str(path)
+
+
+def test_train_then_eval_coco_cli(coco_tree):
+    """COCO pair: train (81 classes, no mid-training validation,
+    dist_clip_coco.py parity) then seg-only val eval
+    (model_attn_aff_coco.py:131-132 short-circuit)."""
+    root, cfg_path = coco_tree
+    from weclip_tpu.cli import eval_coco, train_coco
+    with _argv(["train_coco", "--config", cfg_path]):
+        train_coco.main()
+    runs = sorted(glob.glob(str(root / "work" / "checkpoints" / "*")))
+    assert runs
+    with _argv(["eval_coco", "--config", cfg_path, "--model_path", runs[-1],
+                "--resize_long", "64", "--max_images", "2", "--mesh", "1"]):
+        eval_coco.main()
+
+
+def test_make_coco_labels_cli(coco_tree, tmp_path):
+    root, _ = coco_tree
+    from weclip_tpu.cli import make_coco_labels
+    out_dir = tmp_path / "lists"
+    out_dir.mkdir()
+    (out_dir / "train.txt").write_text("\n".join(COCO_TRAIN[:3]))
+    (out_dir / "val.txt").write_text("\n".join(COCO_VAL[:2]))
+    with _argv(["make_coco_labels", "--root", str(root),
+                "--name_list_dir", str(out_dir)]):
+        make_coco_labels.main()
+    d = np.load(out_dir / "cls_labels_onehot.npy", allow_pickle=True).item()
+    assert set(d) == set(COCO_TRAIN[:3]) | set(COCO_VAL[:2])
+    for v in d.values():
+        assert v.shape == (80,) and v.dtype == np.float32
+        assert v[6] == 1 and v.sum() == 1      # class id 7 -> fg index 6
