@@ -120,14 +120,20 @@ def test_photometric_distortion_matches_reference():
 
     import cv2
 
-    from tests.test_reference_golden import _install_reference
+    from tests.test_reference_golden import REF, _install_reference
     _install_reference()
     if "mmcv" not in sys.modules:
         m = types.ModuleType("mmcv")
         m.bgr2hsv = lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV)
         m.hsv2bgr = lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR)
         sys.modules["mmcv"] = m
-    from datasets import transforms as ref_t
+    # load by file path: 'import datasets' would hit the installed
+    # HuggingFace package whenever an earlier test already imported it
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_ref_transforms", REF + "/datasets/transforms.py")
+    ref_t = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_t)
 
     r = np.random.default_rng(0)
     img = r.integers(0, 256, (24, 32, 3), np.uint8)
