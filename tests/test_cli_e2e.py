@@ -299,3 +299,14 @@ def test_make_coco_labels_cli(coco_tree, tmp_path):
     for v in d.values():
         assert v.shape == (80,) and v.dtype == np.float32
         assert v[6] == 1 and v.sum() == 1      # class id 7 -> fg index 6
+
+
+def test_eval_cli_with_jax_crf(voc_tree, tiny_cfg, trained):
+    """--crf --crf_impl jax: on-device mean-field post-processing through
+    the driver (the reference's CRF call is commented out upstream;
+    test_msc_flip_voc.py:213)."""
+    from weclip_tpu.cli import eval_voc
+    with _argv(["eval_voc", "--config", tiny_cfg, "--model_path", trained,
+                "--resize_long", "64", "--max_images", "2", "--mesh", "1",
+                "--crf", "--crf_impl", "jax", "--crf_stride", "16"]):
+        eval_voc.main()
