@@ -19,10 +19,11 @@ def _batch8(cfg, clip_params):
     return tiny.tiny_batch(cfg, clip_params, batch=8)
 
 
-def _run(cfg, frozen, batch, shard_mesh=None):
+def _run(cfg, frozen, batch, shard_mesh=None, tp=False):
     state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
     if shard_mesh is not None:
-        frozen = meshlib.replicate(shard_mesh, frozen)
+        frozen = (meshlib.shard_model(shard_mesh, frozen) if tp
+                  else meshlib.replicate(shard_mesh, frozen))
         state = step_mod.TrainState(
             meshlib.replicate(shard_mesh, state.params),
             meshlib.replicate(shard_mesh, state.opt_state), state.step)
@@ -58,11 +59,11 @@ def test_sharded_step_matches_single_device():
 
 
 def test_model_axis_4x2_matches_single_device():
-    """Load-test the reserved ``model`` mesh axis: a (data=4, model=2) mesh
-    with replicated parameters and the batch sharded over ``data`` only must
-    reproduce the 1-device step bit-for-tolerance, proving the axis is live
-    scaffolding (params replicated across ``model`` shards correctly) and not
-    decoration."""
+    """Tensor-parallel ``model`` axis: a (data=4, model=2) mesh with the
+    frozen MLP weights Megatron-sharded over ``model``
+    (mesh.model_shardings) and the batch sharded over ``data`` must
+    reproduce the 1-device step — XLA partitions the MLP matmuls and
+    inserts the reduction; the math must not change."""
     assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
     cfg = tiny.tiny_config()
     frozen, clip_params = tiny.tiny_frozen(cfg)
@@ -71,7 +72,18 @@ def test_model_axis_4x2_matches_single_device():
     loss_1, params_1 = _run(cfg, frozen, batch, shard_mesh=None)
     mesh = meshlib.make_mesh(data_parallel=4, model_parallel=2)
     assert dict(mesh.shape) == {"data": 4, "model": 2}
-    loss_42, params_42 = _run(cfg, frozen, batch, shard_mesh=mesh)
+
+    # the sharded tree really is sharded: per-device MLP shards are half
+    fr = meshlib.shard_model(mesh, frozen)
+    fc = fr["visual"]["blocks"]["mlp"]["fc_w"]
+    assert (fc.addressable_shards[0].data.shape[1] * 2 == fc.shape[1]), (
+        fc.addressable_shards[0].data.shape, fc.shape)
+    pw = fr["visual"]["blocks"]["mlp"]["proj_w"]
+    assert pw.addressable_shards[0].data.shape[2] * 2 == pw.shape[2]
+    assert fr["visual"]["blocks"]["attn"]["in_w"].addressable_shards[
+        0].data.shape == fr["visual"]["blocks"]["attn"]["in_w"].shape
+
+    loss_42, params_42 = _run(cfg, frozen, batch, shard_mesh=mesh, tp=True)
 
     np.testing.assert_allclose(loss_1, loss_42, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(params_1),

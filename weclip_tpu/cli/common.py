@@ -123,7 +123,7 @@ def build_eval_mesh(cfg: Config, args, params, frozen):
         cfg = dataclasses.replace(
             cfg, eval=dataclasses.replace(cfg.eval, batch_images=bsz))
     return (cfg, mesh, meshlib.replicate(mesh, params),
-            meshlib.replicate(mesh, frozen))
+            meshlib.shard_model(mesh, frozen))
 
 
 def apply_train_args(cfg: Config, args) -> Config:

@@ -66,6 +66,51 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def model_shardings(mesh: Mesh, tree):
+    """NamedShardings for a CLIP param tree with Megatron-pattern MLP weight
+    sharding over the ``model`` axis.
+
+    The transformer-block MLP holds ~2/3 of the frozen encoder's parameters
+    (per width-w block: 8w^2 MLP vs 4w^2 attention).  Its two matmuls
+    partition cleanly along the hidden dimension — ``fc_w (L, 4w, w)`` and
+    ``fc_b (L, 4w)`` shard the hidden-OUT dim, ``proj_w (L, w, 4w)`` the
+    hidden-IN dim — so XLA's GSPMD runs each half-hidden matmul locally and
+    reduces the proj output across ``model`` (the classic tensor-parallel
+    split).  Attention/LN/embedding weights stay replicated: the TPU
+    attention path is a Pallas kernel whose operands must be gathered
+    per-device anyway.  Dims that the axis size does not divide fall back
+    to replicated, so any tree/mesh combination is safe."""
+    mp_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    mp = mesh.shape[mp_axis] if mp_axis else 1
+
+    def spec_for(path, x):
+        if mp > 1 and len(path) >= 2:
+            name = getattr(path[-1], "key", None)
+            parent = getattr(path[-2], "key", None)
+            nd = np.ndim(x)
+            if parent == "mlp" and name in ("fc_w", "fc_b"):
+                dim = nd - 2 if name == "fc_w" else nd - 1
+                if np.shape(x)[dim] % mp == 0:
+                    s = [None] * nd
+                    s[dim] = mp_axis
+                    return NamedSharding(mesh, P(*s))
+            if parent == "mlp" and name == "proj_w":
+                if np.shape(x)[nd - 1] % mp == 0:
+                    s = [None] * nd
+                    s[nd - 1] = mp_axis
+                    return NamedSharding(mesh, P(*s))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def shard_model(mesh: Mesh, tree):
+    """Device-put a param tree with ``model_shardings`` (falls back to plain
+    replication when the mesh has no model axis or its size is 1)."""
+    return jax.tree_util.tree_map(jax.device_put, tree,
+                                  model_shardings(mesh, tree))
+
+
 def local_batch_size(mesh: Mesh, global_batch: int) -> int:
     ndata = mesh.shape[mesh.axis_names[0]]
     assert global_batch % ndata == 0, (global_batch, ndata)

@@ -87,7 +87,7 @@ def train(cfg: Config, resume: bool = False,
     log.info("mesh: %s", mesh)
 
     frozen, clip_params, cfg = build_frozen(cfg, cfg.train.seed)
-    frozen = meshlib.replicate(mesh, frozen)
+    frozen = meshlib.shard_model(mesh, frozen)
 
     if dataset is None:
         if cfg.dataset.name == "coco":
