@@ -122,11 +122,13 @@ def test_photometric_distortion_matches_reference():
 
     from tests.test_reference_golden import REF, _install_reference
     _install_reference()
-    if "mmcv" not in sys.modules:
-        m = types.ModuleType("mmcv")
+    # attach the color functions to whatever mmcv module exists (the
+    # composite goldens install a cnn-only stub first in full-suite order)
+    m = sys.modules.get("mmcv") or types.ModuleType("mmcv")
+    if not hasattr(m, "bgr2hsv"):
         m.bgr2hsv = lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV)
         m.hsv2bgr = lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR)
-        sys.modules["mmcv"] = m
+    sys.modules["mmcv"] = m
     # load by file path: 'import datasets' would hit the installed
     # HuggingFace package whenever an earlier test already imported it
     import importlib.util
