@@ -108,7 +108,7 @@ def test_seg_dataset_missing_label_fallback(tmp_path):
     assert ex["label"].shape == (40, 60)
 
 
-def test_photometric_distortion_matches_reference():
+def test_photometric_distortion_matches_reference(monkeypatch):
     """Seeded-RNG lockstep vs the reference's mmseg-derived
     PhotoMetricDistortion (datasets/transforms.py:178-264): identical
     global np.random/random streams must yield byte-identical pixels —
@@ -123,12 +123,17 @@ def test_photometric_distortion_matches_reference():
     from tests.test_reference_golden import REF, _install_reference
     _install_reference()
     # attach the color functions to whatever mmcv module exists (the
-    # composite goldens install a cnn-only stub first in full-suite order)
+    # composite goldens install a cnn-only stub first in full-suite order);
+    # monkeypatch scopes the stub to this test
     m = sys.modules.get("mmcv") or types.ModuleType("mmcv")
     if not hasattr(m, "bgr2hsv"):
-        m.bgr2hsv = lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV)
-        m.hsv2bgr = lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR)
-    sys.modules["mmcv"] = m
+        monkeypatch.setattr(
+            m, "bgr2hsv",
+            lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV), raising=False)
+        monkeypatch.setattr(
+            m, "hsv2bgr",
+            lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR), raising=False)
+    monkeypatch.setitem(sys.modules, "mmcv", m)
     # load by file path: 'import datasets' would hit the installed
     # HuggingFace package whenever an earlier test already imported it
     import importlib.util

@@ -19,7 +19,8 @@ def _batch8(cfg, clip_params):
     return tiny.tiny_batch(cfg, clip_params, batch=8)
 
 
-def _run(cfg, frozen, batch, shard_mesh=None, tp=False):
+def _run(cfg, frozen, batch, shard_mesh=None, tp=False,
+         policy=precision.FP32):
     state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
     if shard_mesh is not None:
         frozen = (meshlib.shard_model(shard_mesh, frozen) if tp
@@ -35,7 +36,7 @@ def _run(cfg, frozen, batch, shard_mesh=None, tp=False):
             pos_emb=meshlib.replicate(shard_mesh, np.asarray(batch.pos_emb)),
             valid=dev["valid"], gh=dev["gh"], gw=dev["gw"],
             present_mask=dev["present_mask"])
-    step_fn = step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+    step_fn = step_mod.make_train_step(cfg, tx, policy=policy)
     state2, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(7))
     return float(metrics.loss), jax.tree_util.tree_map(np.asarray,
                                                        state2.params)
@@ -138,3 +139,29 @@ def test_mesh_utils_and_collective_helpers():
     np.testing.assert_allclose(np.asarray(s), np.full((8, 1), x.sum()))
     np.testing.assert_allclose(np.asarray(m), np.full((8, 1), x.mean()))
     np.testing.assert_allclose(np.asarray(g), np.tile(x.T, (8, 1)))
+
+
+def test_model_axis_tp_bf16_drift_bounded():
+    """TP under the production bf16 policy: each model shard rounds its
+    half-hidden MLP contraction to bf16 before the cross-device reduce
+    (mlp_forward emits the compute dtype), so dp x tp may drift from the
+    dp-only bf16 run by one extra rounding.  Quantify and bound it — the
+    fp32 test above proves exactness when the partials are not rounded."""
+    assert jax.device_count() >= 8
+    cfg = tiny.tiny_config()
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = _batch8(cfg, clip_params)
+    bf16 = precision.make_policy("bfloat16")
+
+    mesh_dp = meshlib.make_mesh(data_parallel=8)
+    loss_dp, params_dp = _run(cfg, frozen, batch, shard_mesh=mesh_dp,
+                              policy=bf16)
+    mesh_tp = meshlib.make_mesh(data_parallel=4, model_parallel=2)
+    loss_tp, params_tp = _run(cfg, frozen, batch, shard_mesh=mesh_tp,
+                              tp=True, policy=bf16)
+
+    # one bf16 rounding of a partial sum: relative drift ~ 2^-8 worst case
+    np.testing.assert_allclose(loss_dp, loss_tp, rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(params_dp),
+                    jax.tree_util.tree_leaves(params_tp)):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)

@@ -103,18 +103,21 @@ def add_mesh_arg(p: argparse.ArgumentParser):
 
 
 def build_eval_mesh(cfg: Config, args, params, frozen):
-    """Resolve --mesh into (cfg, mesh, params, frozen): a (data,) mesh over
-    the requested device count with params/frozen replicated onto it and the
-    eval batch rounded up to a mesh multiple.  Returns mesh=None (inputs
-    untouched) for a single device."""
+    """Resolve --mesh into (cfg, mesh, params, frozen): a (data, model)
+    mesh over the requested device count — ``--mesh`` picks the data width,
+    ``cfg.mesh.model_parallel`` the tensor-parallel width (frozen MLP
+    weights shard over it, mesh.model_shardings; everything else
+    replicates) — with the eval batch rounded up to a data-mesh multiple.
+    Returns mesh=None (inputs untouched) for a single device."""
     import jax
+    mp = max(cfg.mesh.model_parallel, 1)
     n = getattr(args, "mesh", -1)
     if n in (-1, 0, None):
-        n = jax.device_count()
-    if n <= 1:
+        n = jax.device_count() // mp
+    if n * mp <= 1:
         return cfg, None, params, frozen
     from weclip_tpu.parallel import mesh as meshlib
-    mesh = meshlib.make_mesh(data_parallel=n)
+    mesh = meshlib.make_mesh(data_parallel=n, model_parallel=mp)
     bsz = ((cfg.eval.batch_images + n - 1) // n) * n
     if bsz != cfg.eval.batch_images:
         logging.getLogger("weclip_tpu").info(

@@ -33,8 +33,9 @@ def main():
             continue
         with open(lst) as f:
             names = [x.strip() for x in f if x.strip()]
+        from weclip_tpu.data.coco import _strip
         for name in names:
-            stripped = name[15:] if split == "train" else name[13:]
+            stripped = _strip(name, split)
             path = os.path.join(args.root, "SegmentationClass", split,
                                 stripped + ".png")
             lab = np.asarray(Image.open(path))

@@ -53,7 +53,7 @@ def main():
     policy = precision.make_policy(cfg.precision.compute_dtype)
     mesh = meshlib.make_mesh(cfg.mesh.data_parallel, cfg.mesh.model_parallel)
     frozen, clip_params, cfg = build_frozen(cfg)
-    frozen = meshlib.replicate(mesh, frozen)
+    frozen = meshlib.shard_model(mesh, frozen)
 
     ds = VOCSegTrainDataset(cfg.dataset, cfg.train.split)
     # samples_per_gpu is per-chip; global batch scales with the data mesh

@@ -122,7 +122,8 @@ def block_forward_from_ln1(
     """
     mha = MhaParams(p["attn"]["in_w"], p["attn"]["in_b"],
                     p["attn"]["out_w"], p["attn"]["out_b"])
-    if jax.default_backend() == "tpu" and a.shape[1] >= 256:
+    from weclip_tpu.core.runtime import pallas_ok
+    if pallas_ok() and a.shape[1] >= 256:
         # fused Pallas forward + flash-style Pallas backward: the GradCAM
         # pullback through the XLA attention materialized multiple fp32
         # (B, H, L, L) HBM temporaries per class seed.  The exported map is

@@ -165,7 +165,8 @@ def cross_attention(q: jax.Array, kv: jax.Array, p: Params, n_heads: int,
     vp = vp.reshape(b, -1, n_heads, hd)
     kvmask = (kv_valid.astype(jnp.float32) if kv_valid is not None
               else jnp.ones((b, kp.shape[1]), jnp.float32))
-    if jax.default_backend() == "tpu":
+    from weclip_tpu.core.runtime import pallas_ok
+    if pallas_ok():
         o = _cross_core_fused(qp, kp, vp, kvmask, cd)
     else:
         o = _xla_cross_core(qp, kp, vp, kvmask, cd)

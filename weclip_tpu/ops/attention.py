@@ -126,8 +126,9 @@ def mha_auto(
     (the kernel defines no VJP), the XLA op otherwise.  ``want_weights=False``
     (seg-only forwards) skips the map export; the XLA path's unused
     attn_mean is DCE'd by XLA when the caller drops it."""
+    from weclip_tpu.core.runtime import pallas_ok
     if (allow_pallas and attn_bias is None and x.shape[1] >= 256
-            and jax.default_backend() == "tpu"):
+            and pallas_ok()):
         from weclip_tpu.ops.pallas_attention import mha_with_weights_pallas
         return mha_with_weights_pallas(x, p, n_heads, valid=valid,
                                        policy=policy,

@@ -122,7 +122,8 @@ def par_refine(imgs: jax.Array, masks: jax.Array, cfg: ParConfig) -> jax.Array:
 def par_refine_auto(imgs: jax.Array, masks: jax.Array, cfg: ParConfig) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU (10x less HBM traffic), the XLA
     formulation elsewhere (CPU tests, odd shapes)."""
-    if (jax.default_backend() == "tpu" and masks.shape[-2] % 8 == 0
+    from weclip_tpu.core.runtime import pallas_ok
+    if (pallas_ok() and masks.shape[-2] % 8 == 0
             and masks.shape[-2] >= 64):
         from weclip_tpu.refine.pallas_par import par_refine_pallas
         return par_refine_pallas(imgs, masks, cfg)
