@@ -310,3 +310,16 @@ def test_eval_cli_with_jax_crf(voc_tree, tiny_cfg, trained):
                 "--resize_long", "64", "--max_images", "2", "--mesh", "1",
                 "--crf", "--crf_impl", "jax", "--crf_stride", "16"]):
         eval_voc.main()
+
+
+def test_train_cli_resume_continues_run(voc_tree, tiny_cfg, trained):
+    """--resume must reuse the newest checkpointed run dir (not mint a new
+    timestamp) and continue from the restored step."""
+    from weclip_tpu.cli import train_voc
+    from weclip_tpu.train.checkpoint import latest_step
+    assert latest_step(trained) == 2
+    with _argv(["train_voc", "--config", tiny_cfg, "--resume",
+                "--max_iters", "4"]):
+        train_voc.main()
+    # same run dir, extended to step 4
+    assert latest_step(trained) == 4
