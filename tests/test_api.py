@@ -51,3 +51,15 @@ def test_pseudo_label_restricted_class_set(pipe):
     # (1-indexed in label space), and the bg->last-class quirk key
     allowed = {0, 4, 8, pipe.cfg.dataset.num_classes - 1, 255}
     assert set(np.unique(out).tolist()) <= allowed
+
+
+def test_segment_grayscale_input_promoted(pipe):
+    """2-D input is promoted to RGB like the datasets' robust_read_image
+    (coco.py:20-25); RGBA drops the alpha channel."""
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 255, (40, 44), np.uint8)
+    out = pipe.segment(gray, msc=False)
+    assert out.shape == (40, 44)
+    rgba = rng.integers(0, 255, (40, 44, 4), np.uint8)
+    out2 = pipe.segment(rgba, msc=False)
+    assert out2.shape == (40, 44)
