@@ -36,7 +36,8 @@ def _run(cfg, frozen, batch, shard_mesh=None, tp=False,
             pos_emb=meshlib.replicate(shard_mesh, np.asarray(batch.pos_emb)),
             valid=dev["valid"], gh=dev["gh"], gw=dev["gw"],
             present_mask=dev["present_mask"])
-    step_fn = step_mod.make_train_step(cfg, tx, policy=policy)
+    step_fn = step_mod.make_train_step(cfg, tx, policy=policy,
+                                       mesh=shard_mesh)
     state2, metrics = step_fn(state, frozen, batch, jax.random.PRNGKey(7))
     return float(metrics.loss), jax.tree_util.tree_map(np.asarray,
                                                        state2.params)

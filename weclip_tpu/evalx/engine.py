@@ -152,7 +152,7 @@ def _resize_pair(grid: jax.Array, mh: jax.Array, mw: jax.Array) -> jax.Array:
 
 def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
                      with_cam: bool = True, max_classes: int = None,
-                     prep=None):
+                     prep=None, mesh=None):
     """Returns jitted fn: (params, frozen, sb, present, ops, cls_idx,
     cls_active) -> (seg_single (B,K,G,G), seg_flipavg (B,K,G,G),
     cam_labels (B,Hc,Wc)).
@@ -249,7 +249,7 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
 
         mh_img, mw_img = _dev_ops_img(sizes, canvas_out, prep.canvas_in1)
         img_ori = _resize_pair(imgs1, mh_img, mw_img)
-        par_out = par_refine_auto(img_ori, stack, cfg.par)
+        par_out = par_refine_auto(img_ori, stack, cfg.par, mesh=mesh)
         idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)   # compacted ids
         lut = jnp.concatenate(
             [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], 1)

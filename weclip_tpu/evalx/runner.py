@@ -122,7 +122,7 @@ class Evaluator:
         if mc not in self._scale1_cache:
             self._scale1_cache[mc] = make_eval_scale1(
                 self.cfg, self.policy, with_cam=self.with_cam, max_classes=mc,
-                prep=self.prep)
+                prep=self.prep, mesh=self.mesh)
         return self._scale1_cache[mc]
 
     def round_for(self, mc: int):

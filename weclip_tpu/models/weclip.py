@@ -143,6 +143,7 @@ def pseudo_labels(
     policy: precision.Policy,
     cls_idx: Optional[jax.Array] = None,     # (B, MC) compacted class ids
     cls_active: Optional[jax.Array] = None,  # (B, MC) validity
+    mesh=None,                               # data mesh for sharded PAR
 ) -> Tuple[jax.Array, jax.Array]:
     """On-device CAM -> walk -> PAR pseudo-label chain (train-crop shapes).
 
@@ -216,7 +217,7 @@ def pseudo_labels(
     bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
     stack = jnp.concatenate([bg_score, fg_scores], axis=1)    # (B, 1+MC, H, W)
 
-    par_out = par_refine_auto(batch.img, stack, cfg.par)
+    par_out = par_refine_auto(batch.img, stack, cfg.par, mesh=mesh)
     idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)
     lut = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], axis=1)
@@ -235,6 +236,7 @@ def forward_train(
     with_pseudo: bool = True,
     cls_idx: Optional[jax.Array] = None,
     cls_active: Optional[jax.Array] = None,
+    mesh=None,
 ) -> ForwardOutputs:
     """Full training-mode forward (model_attn_aff_voc.py:107-175).
 
@@ -247,7 +249,8 @@ def forward_train(
     if with_pseudo:
         cam_labels, refined = pseudo_labels(
             frozen, feats, attn_pred, batch, cfg, require_seg_trans,
-            (h, w), policy, cls_idx=cls_idx, cls_active=cls_active)
+            (h, w), policy, cls_idx=cls_idx, cls_active=cls_active,
+            mesh=mesh)
     else:
         b = batch.img.shape[0]
         cam_labels = jnp.zeros((b, h, w), jnp.int32)

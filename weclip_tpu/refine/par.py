@@ -119,12 +119,34 @@ def par_refine(imgs: jax.Array, masks: jax.Array, cfg: ParConfig) -> jax.Array:
     return masks
 
 
-def par_refine_auto(imgs: jax.Array, masks: jax.Array, cfg: ParConfig) -> jax.Array:
+def par_refine_auto(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
+                    mesh=None) -> jax.Array:
     """Dispatch to the Pallas kernel on TPU (10x less HBM traffic), the XLA
-    formulation elsewhere (CPU tests, odd shapes)."""
+    formulation elsewhere (CPU tests, odd shapes).
+
+    ``mesh``: the caller's device mesh when the batch is sharded over its
+    leading (data) axis.  PAR is embarrassingly batch-parallel and sits
+    under stop_gradient, so on a multi-device mesh the per-device impl runs
+    under shard_map — Mosaic kernels cannot be auto-partitioned by GSPMD
+    (jax raises "wrap the call in a shard_map"), and the XLA fallback costs
+    ~10x (PARITY.md floor table: 64.5 vs 663 ms/eval batch).  The global
+    batch must divide the data-axis width (every caller guarantees it)."""
+    kernel_ok = (jax.default_backend() == "tpu"
+                 and masks.shape[-2] % 8 == 0 and masks.shape[-2] >= 64)
+    if mesh is not None and mesh.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if kernel_ok:
+            from weclip_tpu.refine.pallas_par import par_refine_pallas
+            impl = lambda i, m: par_refine_pallas(i, m, cfg)
+        else:
+            impl = lambda i, m: par_refine(i, m, cfg)
+        spec = P(mesh.axis_names[0], None, None, None)
+        return shard_map(impl, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=spec, check_rep=False)(imgs, masks)
     from weclip_tpu.core.runtime import pallas_ok
-    if (pallas_ok() and masks.shape[-2] % 8 == 0
-            and masks.shape[-2] >= 64):
+    if kernel_ok and pallas_ok():
         from weclip_tpu.refine.pallas_par import par_refine_pallas
         return par_refine_pallas(imgs, masks, cfg)
     return par_refine(imgs, masks, cfg)

@@ -45,7 +45,8 @@ def create_train_state(rng: jax.Array, cfg: Config) -> Tuple[TrainState, optax.G
 
 
 def make_train_step(cfg: Config, tx: optax.GradientTransformation,
-                    policy: precision.Policy = precision.DEFAULT):
+                    policy: precision.Policy = precision.DEFAULT,
+                    mesh=None):
     crop = cfg.dataset.crop_size
     g = crop // cfg.clip.patch_size
     rmask = jnp.asarray(losses.radius_mask(g, g, cfg.train.radius))
@@ -54,7 +55,8 @@ def make_train_step(cfg: Config, tx: optax.GradientTransformation,
                 dropout_rng, cls_idx, cls_active):
         out = weclip.forward_train(params, frozen, batch, cfg,
                                    require_seg_trans, dropout_rng, policy,
-                                   cls_idx=cls_idx, cls_active=cls_active)
+                                   cls_idx=cls_idx, cls_active=cls_active,
+                                   mesh=mesh)
         b = batch.img.shape[0]
         seg_grid = out.seg.reshape(b, g, g, -1).transpose(0, 3, 1, 2)
         seg_hw = resize_bilinear(seg_grid, crop, crop)        # (B,K,H,W)

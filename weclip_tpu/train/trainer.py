@@ -118,7 +118,8 @@ def train(cfg: Config, resume: bool = False,
                                     jnp.asarray(step0, jnp.int32))
         log.info("resumed from step %d", step0)
 
-    step_fn = step_mod.make_train_step(cfg, tx, policy)
+    step_fn = step_mod.make_train_step(cfg, tx, policy,
+                                       mesh=mesh if mesh.size > 1 else None)
     grid = cfg.dataset.crop_size // cfg.clip.patch_size
     pos_emb = meshlib.replicate(
         mesh, np.asarray(vit.build_pos_emb(clip_params["visual"], grid, grid))[None])
