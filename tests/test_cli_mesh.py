@@ -63,3 +63,40 @@ def test_trainer_validate_sharded_matches_single():
     for k in ("seg", "cam"):
         np.testing.assert_allclose(sharded[k]["miou"], single[k]["miou"],
                                    rtol=1e-6, err_msg=k)
+
+
+def test_pallas_dispatch_follows_declared_sharding(monkeypatch):
+    """pallas_ok keys on whether compute is partitioned, not on how many
+    devices the host happens to expose: a single-device eval on a
+    multi-device host keeps the Mosaic kernels (10x PAR cliff otherwise)."""
+    import pytest
+    from weclip_tpu.core import runtime
+
+    monkeypatch.setattr(runtime, "_sharded_compute", None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert jax.device_count() >= 8
+    # undeclared: conservative fallback keys on global device count
+    assert not runtime.pallas_ok()
+
+    # a multi-device mesh declares partitioned compute
+    meshlib.make_mesh(data_parallel=8)
+    assert not runtime.pallas_ok()
+
+    # a 1x1 mesh declares whole-device compute: kernels stay on
+    meshlib.make_mesh(data_parallel=1, model_parallel=1)
+    assert runtime.pallas_ok()
+
+    # the CLI single-device fast path declares too
+    monkeypatch.setattr(runtime, "_sharded_compute", None)
+    cfg = tiny.tiny_config()
+    frozen, _ = tiny.tiny_frozen(cfg)
+    params = weclip.init_trainable_params(jax.random.PRNGKey(0), cfg)
+    _, mesh1, _, _ = common.build_eval_mesh(cfg, _args(1), params, frozen)
+    assert mesh1 is None
+    assert runtime.pallas_ok()
+
+    # --mesh not divisible by the tensor-parallel width: clear error
+    cfg_tp = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, model_parallel=2))
+    with pytest.raises(SystemExit, match="model_parallel"):
+        common.build_eval_mesh(cfg_tp, _args(5), params, frozen)

@@ -57,9 +57,8 @@ class WeCLIPPipeline:
 
     def _example(self, image_rgb: np.ndarray,
                  class_ids: Optional[list] = None) -> Dict:
-        if image_rgb.ndim == 2:            # grayscale -> RGB, like the
-            image_rgb = np.stack([image_rgb] * 3, -1)  # datasets (coco.py:20-25)
-        image_rgb = image_rgb[..., :3]
+        from weclip_tpu.utils.imutils import promote_rgb
+        image_rgb = promote_rgb(image_rgb)  # grayscale/alpha, like datasets
         num_fg = self.cfg.dataset.num_classes - 1
         present = np.zeros(num_fg, bool)
         if class_ids is None:

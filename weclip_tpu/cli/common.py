@@ -96,10 +96,12 @@ def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
 
 def add_mesh_arg(p: argparse.ArgumentParser):
     p.add_argument("--mesh", default=-1, type=int,
-                   help="data-parallel evaluation: shard TTA batches over "
-                        "this many devices (-1 = all local devices, 1 = "
-                        "single chip); eval.batch_images is rounded up to a "
-                        "multiple of the mesh size")
+                   help="total devices for sharded evaluation (-1 = all "
+                        "local devices, 1 = single chip): a (data, model) "
+                        "mesh of this size, with the tensor-parallel width "
+                        "taken from cfg.mesh.model_parallel (so it must "
+                        "divide --mesh); eval.batch_images is rounded up "
+                        "to a multiple of the data width")
 
 
 def build_eval_mesh(cfg: Config, args, params, frozen):
@@ -111,10 +113,21 @@ def build_eval_mesh(cfg: Config, args, params, frozen):
     Returns mesh=None (inputs untouched) for a single device."""
     import jax
     mp = max(cfg.mesh.model_parallel, 1)
-    n = getattr(args, "mesh", -1)
-    if n in (-1, 0, None):
-        n = jax.device_count() // mp
-    if n * mp <= 1:
+    total = getattr(args, "mesh", -1)
+    if total in (-1, 0, None):
+        total = (jax.device_count() // mp) * mp
+    if total % mp != 0:
+        raise SystemExit(
+            f"--mesh {total} is not a multiple of cfg.mesh.model_parallel="
+            f"{mp}; pass a total device count divisible by the "
+            f"tensor-parallel width (or set mesh.model_parallel in the "
+            f"config)")
+    n = total // mp
+    if total <= 1:
+        # Single-device eval: declare so the Pallas kernels stay enabled
+        # even when the host exposes more devices (core/runtime.pallas_ok).
+        from weclip_tpu.core.runtime import declare_sharded_compute
+        declare_sharded_compute(False)
         return cfg, None, params, frozen
     from weclip_tpu.parallel import mesh as meshlib
     mesh = meshlib.make_mesh(data_parallel=n, model_parallel=mp)

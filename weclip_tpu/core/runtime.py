@@ -20,18 +20,43 @@ def enable_compilation_cache(path: str | None = None) -> str:
     return path
 
 
+# Whether jitted programs in this process trace with operands sharded over
+# a multi-device mesh.  None = never declared; pallas_ok() then falls back
+# to the conservative global device count.
+_sharded_compute: bool | None = None
+
+
+def declare_sharded_compute(active: bool) -> None:
+    """Record whether compute is partitioned over a multi-device mesh.
+
+    Called by the mesh owner (``parallel.mesh.make_mesh`` and the CLI
+    single-device fast path): Mosaic custom calls cannot be
+    auto-partitioned by GSPMD, but they are safe — and ~10x faster for PAR
+    — whenever the computation runs whole on one device, regardless of how
+    many OTHER devices the host exposes.  Latest declaration wins."""
+    global _sharded_compute
+    _sharded_compute = bool(active)
+
+
 def pallas_ok() -> bool:
     """True when the fused Pallas kernels may be dispatched: TPU backend
-    AND a single local device.
+    AND the current compute is not partitioned over a multi-device mesh.
 
     Under a multi-device mesh the kernels would sit inside plain ``jit``
     (no shard_map), and GSPMD cannot auto-partition a Mosaic custom call
     whose operands are sharded — the XLA formulations of every kernel are
     fully partitionable and take over there (multi-chip correctness is
     validated on the CPU fake-device mesh, which exercises exactly those
-    XLA paths).  Single chip — the measured-perf configuration — keeps the
-    kernels.  Wrapping the kernels in shard_map to get both at once needs
-    real multi-chip hardware to validate and is tracked in PARITY.md.
+    XLA paths; PAR alone dispatches its kernel under shard_map,
+    refine/par.py).  Whether compute is partitioned comes from the mesh
+    owner via ``declare_sharded_compute``; if nothing was declared, fall
+    back to requiring a single visible device — conservative, but a
+    multi-device host running a genuinely unsharded program should go
+    through make_mesh/build_eval_mesh, which declare.
     """
     import jax
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    if jax.default_backend() != "tpu":
+        return False
+    if _sharded_compute is not None:
+        return not _sharded_compute
+    return jax.device_count() == 1

@@ -19,6 +19,7 @@ from PIL import Image
 from weclip_tpu.core.config import DatasetConfig
 from weclip_tpu.data import transforms
 from weclip_tpu.data.voc import class_set_from_label, load_name_list
+from weclip_tpu.utils.imutils import promote_rgb
 
 
 def _strip(name: str, split: str) -> str:
@@ -42,9 +43,7 @@ class CocoBase:
 
     def read_image(self, name: str) -> np.ndarray:
         img = np.asarray(Image.open(os.path.join(self.img_dir, name + ".jpg")))
-        if img.ndim == 2:                       # robust_read_image (coco.py:20-25)
-            img = np.stack([img] * 3, axis=-1)
-        return img[..., :3]
+        return promote_rgb(img)                 # robust_read_image (coco.py:20-25)
 
     def read_label(self, name: str) -> np.ndarray:
         p = os.path.join(self.label_dir, _strip(name, self.split) + ".png")

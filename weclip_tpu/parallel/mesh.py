@@ -39,6 +39,8 @@ def make_mesh(data_parallel: int = -1,
         data_parallel = n // model_parallel
     used = data_parallel * model_parallel
     assert used <= n, f"need {used} devices, have {n}"
+    from weclip_tpu.core.runtime import declare_sharded_compute
+    declare_sharded_compute(used > 1)
     arr = np.asarray(devices[:used]).reshape(data_parallel, model_parallel)
     return Mesh(arr, (data_axis, model_axis))
 

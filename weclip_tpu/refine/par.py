@@ -134,7 +134,7 @@ def par_refine_auto(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     kernel_ok = (jax.default_backend() == "tpu"
                  and masks.shape[-2] % 8 == 0 and masks.shape[-2] >= 64)
     if mesh is not None and mesh.size > 1:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         if kernel_ok:
@@ -144,7 +144,7 @@ def par_refine_auto(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
             impl = lambda i, m: par_refine(i, m, cfg)
         spec = P(mesh.axis_names[0], None, None, None)
         return shard_map(impl, mesh=mesh, in_specs=(spec, spec),
-                         out_specs=spec, check_rep=False)(imgs, masks)
+                         out_specs=spec, check_vma=False)(imgs, masks)
     from weclip_tpu.core.runtime import pallas_ok
     if kernel_ok and pallas_ok():
         from weclip_tpu.refine.pallas_par import par_refine_pallas

@@ -13,6 +13,14 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 
+def promote_rgb(img: np.ndarray) -> np.ndarray:
+    """Promote grayscale to 3-channel and drop any alpha channel
+    (reference robust_read_image, datasets/coco.py:20-25)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    return img[..., :3]
+
+
 def colormap(n: int = 256) -> np.ndarray:
     """The VOC palette (bit-twiddling generator, imutils.py:136-154)."""
     def bitget(byteval, idx):
