@@ -24,7 +24,12 @@ Design (fully fused — one kernel launch per PAR invocation):
 - each neighbor step is a shift-multiply-accumulate: dynamic sublane/lane
   rolls (Mosaic compiles rolls orders of magnitude faster than unaligned
   dynamic slices); shifts arrive sorted by dy so the row-rolled band in
-  scratch is reused across steps (13 distinct row rolls instead of 48),
+  scratch is reused across steps (13 distinct row rolls instead of 48);
+  the constant halo offset d is pre-rotated into the pad layout (lanes via
+  the clamp matmul's column mapping, sublanes via the concat order) so the
+  roll amounts are -dx / -dy alone — the 12 dx == 0 neighbors and the
+  dy == 0 band skip their dynamic roll entirely (rolls compose exactly
+  mod the extent, so this is bit-identical),
 - the per-neighbor affinity slabs stream through the automatic
   double-buffered pipeline.
 
@@ -70,16 +75,25 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
         # source of this iteration: initial masks (it 0) or previous result
         src = jnp.where(it == 0, m0_ref[0].astype(jnp.float32), out_ref[0])
         # columns: exact replicate-clamp as a one-hot matmul (cols >= w in
-        # src are garbage accumulation lanes; cmat's zero rows drop them)
+        # src are garbage accumulation lanes; cmat's zero rows drop them).
+        # cmat ALSO pre-rotates the halo offset d into the lane layout
+        # (pad[j] = src[clamp(j, ...)] with the wrap block at the top end),
+        # so the per-neighbor lane roll amount is -dx alone and the twelve
+        # dx == 0 neighbors skip their roll entirely (exact: lane rolls
+        # compose additively mod wp).
         cols = jax.lax.dot_general(
             src, cmat_ref[...], (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # (CT, h, WP)
         ct, _, wp = cols.shape
         hp = pad_ref.shape[1]
-        # rows: statically 8-aligned sublane broadcasts (d % 8 == 0)
+        # rows: statically 8-aligned sublane broadcasts (d % 8 == 0).  The
+        # concat order [cols, bot, top] pre-rotates the halo offset d into
+        # the sublane layout the same way (pad2[r] = old_pad[(r+d) % hp]),
+        # so the band roll amount is -dy alone and the dy == 0 group copies
+        # without a roll.
         top = jnp.broadcast_to(cols[:, 0:1, :], (ct, d, wp))
         bot = jnp.broadcast_to(cols[:, h - 1:h, :], (ct, hp - h - d, wp))
-        pad_ref[...] = jnp.concatenate([top, cols, bot], axis=1)
+        pad_ref[...] = jnp.concatenate([cols, bot, top], axis=1)
         last_dy_ref[0] = jnp.int32(-(1 << 30))                # force re-band
 
     dy = dys_ref[k]
@@ -91,20 +105,38 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
     @pl.when(dy != last_dy_ref[0])
     def _():
         hp = pad_ref.shape[1]
-        band_ref[...] = pltpu.roll(pad_ref[...], (-(d + dy)) % hp, 1)[:, 0:h, :]
+
+        @pl.when(dy == 0)
+        def _():
+            band_ref[...] = pad_ref[:, 0:h, :]
+
+        @pl.when(dy != 0)
+        def _():
+            band_ref[...] = pltpu.roll(pad_ref[...], (-dy) % hp, 1)[:, 0:h, :]
+
         last_dy_ref[0] = dy
 
     wp = band_ref.shape[2]
-    shifted = pltpu.roll(band_ref[...], (-(d + dx)) % wp, 2)[:, :, 0:w_pad]
-    contrib = shifted * aff_ref[0, 0][None].astype(jnp.float32)
+    aff_blk = aff_ref[0, 0][None].astype(jnp.float32)
 
-    @pl.when(k == 0)
-    def _():
-        out_ref[0] = contrib
+    def _accum(shifted):
+        contrib = shifted * aff_blk
 
-    @pl.when(k > 0)
+        @pl.when(k == 0)
+        def _():
+            out_ref[0] = contrib
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[0] += contrib
+
+    @pl.when(dx == 0)
     def _():
-        out_ref[0] += contrib
+        _accum(band_ref[:, :, 0:w_pad])
+
+    @pl.when(dx != 0)
+    def _():
+        _accum(pltpu.roll(band_ref[...], (-dx) % wp, 2)[:, :, 0:w_pad])
 
 
 def _pick_c_tile(c: int, max_tile: int = 10) -> int:
@@ -122,10 +154,15 @@ def _pick_c_tile(c: int, max_tile: int = 10) -> int:
 
 
 def _clamp_matrix(w_pad: int, wp: int, d: int, w: int) -> np.ndarray:
-    """(w_pad, wp) one-hot: out[j] = src[clamp(j - d, 0, w - 1)]."""
+    """(w_pad, wp) one-hot replicate-clamp, pre-rotated by the halo d:
+    out[j] = src[clamp(j, 0, w - 1)] for j < wp - d (the left halo lives in
+    the wrap block j >= wp - d, where j maps to the negative column j - wp,
+    i.e. clamps to src[0]).  Equivalent to rolling the d-left-halo layout
+    left by d; the per-neighbor lane roll then needs -dx alone."""
     m = np.zeros((w_pad, wp), np.float32)
     for j in range(wp):
-        m[min(max(j - d, 0), w - 1), j] = 1.0
+        jj = j if j < wp - d else j - wp
+        m[min(max(jj, 0), w - 1), j] = 1.0
     return m
 
 
