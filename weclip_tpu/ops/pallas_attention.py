@@ -81,31 +81,35 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
     q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(score_dtype)
     k = k_ref[0, 0].astype(score_dtype)                  # (L, Dh)
     v = v_ref[0, 0].astype(score_dtype)                  # (L, Dh)
-    kmask = mask_ref[0]                                  # (1, L) float {0,1}
+    kbias = mask_ref[0]                                  # (1, L) fp32: 0 valid,
+                                                         # -1e30 masked
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # (TQ, L) fp32
+    # additive mask: |scores| << ulp(1e30), so scores + (-1e30) rounds to
+    # exactly -1e30 — bit-identical to the where(-1e30) select it replaces
+    # at one VPU add instead of two compare+selects; exp underflows masked
+    # entries to exact 0.0, so no post-exp re-mask is needed either
+    scores = scores + kbias
     neg = jnp.float32(-1e30)
-    scores = jnp.where(kmask > 0, scores, neg)
     smax = jnp.max(scores, axis=-1, keepdims=True)
     smax = jnp.maximum(smax, neg * 0.5)                  # all-masked row guard
     ex = jnp.exp(scores - smax)
-    ex = jnp.where(kmask > 0, ex, 0.0)
-    denom = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30)
+    recip = 1.0 / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30)
 
     if attn_ref is None:        # no-export variant (seg-only forwards)
-        # normalize AFTER the value matmul: an (TQ, Dh) divide replaces the
-        # (TQ, L) one — L/Dh (~18x) fewer fp32 VPU divisions, same softmax
+        # normalize AFTER the value matmul: an (TQ, Dh) multiply replaces
+        # the (TQ, L) one — L/Dh (~18x) fewer fp32 VPU ops, same softmax
         # up to one bf16 rounding (ex vs ex/denom rounds at the same
         # relative precision; the sum is linear in the scale)
         ov = jax.lax.dot_general(
             ex.astype(score_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        out_ref[0, 0] = (ov / denom).astype(out_ref.dtype)
+        out_ref[0, 0] = (ov * recip).astype(out_ref.dtype)
         return
 
-    attn = ex / denom                                    # (TQ, L) fp32
+    attn = ex * recip                                    # (TQ, L) fp32
 
     out_ref[0, 0] = jax.lax.dot_general(
         attn.astype(score_dtype), v, (((1,), (0,)), ((), ())),
@@ -178,7 +182,8 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
         kmask = jnp.pad(kmask, [(0, 0), (0, lp - l)])
-    kmask2 = kmask[:, None, :].astype(jnp.float32)        # (B, 1, L)
+    # additive score bias: 0 for valid keys, -1e30 for masked (see kernel)
+    kmask2 = ((kmask.astype(jnp.float32) - 1.0) * 1e30)[:, None, :]
 
     grid = (b, lp // q_tile, h)
     scale = dh ** -0.5
@@ -293,20 +298,20 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mask_ref,
     k = k_ref[0, 0]                                      # (L, Dh)
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)                # (TQ, Dh)
-    kmask = mask_ref[0]                                  # (1, L)
+    kbias = mask_ref[0]                                  # (1, L) additive bias
 
     qs = q.astype(score_dtype)
     ks = k.astype(score_dtype)
     scores = jax.lax.dot_general(
         qs, ks, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # (TQ, L)
+    # additive mask + exact exp underflow — see _attn_kernel
+    scores = scores + kbias
     neg = jnp.float32(-1e30)
-    scores = jnp.where(kmask > 0, scores, neg)
     smax = jnp.max(scores, axis=-1, keepdims=True)
     smax = jnp.maximum(smax, neg * 0.5)
     ex = jnp.exp(scores - smax)
-    ex = jnp.where(kmask > 0, ex, 0.0)
-    p = ex / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30)
+    p = ex * (1.0 / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30))
 
     dp = jax.lax.dot_general(
         do.astype(score_dtype), v.astype(score_dtype), (((1,), (1,)), ((), ())),
@@ -376,7 +381,7 @@ def attention_bwd_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         k = jnp.pad(k, kpad)
         v = jnp.pad(v, kpad)
         kmask = jnp.pad(kmask, [(0, 0), (0, lkp - lk)])
-    kmask2 = kmask[:, None, :].astype(jnp.float32)
+    kmask2 = ((kmask.astype(jnp.float32) - 1.0) * 1e30)[:, None, :]
 
     grid = (b, h, lqp // q_tile)
     qspec = pl.BlockSpec((1, 1, q_tile, dh), lambda bi, hi, qt: (bi, hi, qt, 0),
@@ -518,7 +523,7 @@ def cross_attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         k = jnp.pad(k, kv_pad)
         v = jnp.pad(v, kv_pad)
         kmask = jnp.pad(kmask, [(0, 0), (0, lkp - lk)])
-    kmask2 = kmask[:, None, :].astype(jnp.float32)
+    kmask2 = ((kmask.astype(jnp.float32) - 1.0) * 1e30)[:, None, :]
 
     # grid: q-tiles INNERMOST (unlike the self-attention kernel, which needs
     # h innermost to accumulate the head-mean export) so the (Lk, Dh) K/V
