@@ -66,6 +66,15 @@ def test_targets_api():
     np.testing.assert_array_equal(np.asarray(t.seed(3)), [0.0, 1.0, 0.0])
     ts = ClassifierOutputSoftmaxTarget(1)
     assert 0.0 < float(ts(logits)) < 1.0
+    # the softmax seed is the Jacobian row: must equal grad of p[1] wrt z
+    import jax
+    seed_sm = ts.seed(3, logits=logits)
+    oracle = jax.grad(lambda z: jax.nn.softmax(z)[1])(logits)
+    np.testing.assert_allclose(np.asarray(seed_sm), np.asarray(oracle),
+                               rtol=1e-6, atol=1e-7)
+    import pytest
+    with pytest.raises(ValueError):
+        ts.seed(3)
     mask = np.zeros((4, 4), np.float32)
     mask[1:3, 1:3] = 1.0
     seg = SemanticSegmentationTarget(2, mask)
@@ -74,3 +83,29 @@ def test_targets_api():
     assert float(seg(out)) == expect
     seed = np.asarray(seg.seed_fn((3, 4, 4)))
     assert seed[2].sum() == 4.0 and seed[[0, 1]].sum() == 0.0
+
+
+@pytest.mark.parametrize("method", ["grad_cam", "grad_cam_pp", "layer_cam",
+                                    "score_cam"])
+def test_variants_stream_padded_num_patches(setup, method):
+    """The num_patches contract (shared with gradcam.py): a stream-padded
+    x11 (Ls > 1 + P, zero-valued invalid tail like vit.VisionFeatures)
+    yields the same (C, P) maps as the exact-length input."""
+    cfg, frozen, x11, text, tmask, valid, cls = setup
+    exact = variants.cam_single(method, frozen["visual"],
+                                frozen["logit_scale"], x11, text, tmask,
+                                valid, cls, cfg.clip, precision.FP32)
+    pad = 7
+    x11p = jnp.pad(x11, [(0, pad), (0, 0)])
+    validp = jnp.pad(valid, (0, pad))
+    padded = variants.cam_single(method, frozen["visual"],
+                                 frozen["logit_scale"], x11p, text, tmask,
+                                 validp, cls, cfg.clip, precision.FP32,
+                                 num_patches=x11.shape[0] - 1)
+    assert padded.shape == exact.shape
+    # score_cam runs 768 perturbed forwards whose reductions re-associate
+    # at the padded length — fp noise (~1e-5 on the [0,1] maps), not a
+    # slicing bug; the weighted variants are deterministic slices
+    tol = 1e-4 if method == "score_cam" else 1e-5
+    np.testing.assert_allclose(np.asarray(padded), np.asarray(exact),
+                               rtol=tol, atol=tol)

@@ -139,6 +139,11 @@ def test_eval_cli_restores_and_saves_artifacts(voc_tree, tiny_cfg, trained):
                     allow_pickle=True).item()
     assert set(logit) == {"segs", "msc_segs"}
     assert logit["msc_segs"].shape[-3:] == (21, 40, 60)
+    # "segs" is cropped to the image's own (h1//patch, w1//patch) grid like
+    # the reference (whose tensors never see a square canvas) — a landscape
+    # image must yield a landscape grid, not the padded square
+    gh, gw = logit["segs"].shape[-2:]
+    assert gh < gw
     pred = Image.open(os.path.join(results, "prediction", "img00.png"))
     assert pred.size == (60, 40)                  # PIL (w, h)
     assert os.path.exists(os.path.join(results, "prediction_cmap",

@@ -32,13 +32,30 @@ class ClassifierOutputTarget:
 
 class ClassifierOutputSoftmaxTarget(ClassifierOutputTarget):
     """Softmaxed variant: score = softmax(logits)[category].  The seed for a
-    pullback through raw logits is the softmax Jacobian row."""
+    pullback through raw logits is the softmax Jacobian row, which depends
+    on the logit VALUES — ``seed`` therefore requires ``logits=``."""
 
     def __call__(self, model_output: jax.Array) -> jax.Array:
         p = jax.nn.softmax(model_output, axis=-1)
         if model_output.ndim == 1:
             return p[self.category]
         return p[:, self.category]
+
+    def seed(self, num_outputs: int, dtype=jnp.float32,
+             logits: jax.Array = None) -> jax.Array:
+        """d softmax(z)[c] / dz = p_c * (onehot_c - p) — the cotangent to
+        feed a raw-logit pullback so it computes the softmaxed score's
+        gradient (the reference reaches the same thing through autograd,
+        pytorch_grad_cam/utils/model_targets.py:10-16)."""
+        if logits is None:
+            raise ValueError(
+                "ClassifierOutputSoftmaxTarget.seed needs logits= — the "
+                "softmax Jacobian row depends on the logit values (use "
+                "ClassifierOutputTarget for a value-free one-hot seed)")
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        e = jax.nn.one_hot(self.category, num_outputs, dtype=p.dtype)
+        pc = p[..., self.category]
+        return ((e - p) * pc[..., None]).astype(dtype)
 
 
 class SemanticSegmentationTarget:

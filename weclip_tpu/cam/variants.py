@@ -130,17 +130,27 @@ _WEIGHTED: Dict[str, Callable] = {
 
 def cam_single(method: str, visual_params, logit_scale, x11, text_features,
                text_mask, valid, class_idx, cfg: ClipConfig,
-               policy: precision.Policy = precision.DEFAULT):
-    """Compute CAMs (C, P) for one image with the chosen method."""
+               policy: precision.Policy = precision.DEFAULT,
+               num_patches: int = None):
+    """Compute CAMs (C, P) for one image with the chosen method.
+
+    ``num_patches`` (static) is the padded-GRID patch count P when ``x11``
+    comes stream-padded from vit.vision_forward_frozen (Ls > 1 + P) — same
+    contract as cam/gradcam.py: the forward runs on the full stream, the
+    CAM assembly slices back to (C, P).  None = x11 is exactly (1+P, D)."""
+    pe = 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
     if method == "score_cam":
         return score_cam(visual_params, logit_scale, x11, text_features,
-                         text_mask, valid, class_idx, cfg, policy)
+                         text_mask, valid, class_idx, cfg, policy,
+                         num_patches=num_patches)
     if method == "ablation_cam":
         return ablation_cam(visual_params, logit_scale, x11, text_features,
-                            text_mask, valid, class_idx, cfg, policy)
+                            text_mask, valid, class_idx, cfg, policy,
+                            num_patches=num_patches)
     acts, grads, _ = _acts_and_grads(visual_params, logit_scale, x11,
                                      text_features, text_mask, valid,
                                      class_idx, cfg, policy)
+    acts, grads, valid = acts[:pe], grads[:, :pe], valid[:pe]
     return _finish(_WEIGHTED[method](acts, grads, valid), valid)
 
 
@@ -185,7 +195,8 @@ def _chunked_scores(fn, chans: jax.Array, chunk: int = 32) -> jax.Array:
 def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
               valid, class_idx, cfg: ClipConfig,
               policy: precision.Policy = precision.DEFAULT,
-              top_channels: int | None = None):
+              top_channels: int | None = None,
+              num_patches: int = None):
     """ScoreCAM (score_cam.py surface): re-score the model with
     activation-masked inputs, softmax the class scores into channel weights.
 
@@ -200,21 +211,30 @@ def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
         visual_params, logit_scale, x11, text_features, text_mask, valid,
         cfg, policy, top_channels)
 
+    vmask = valid.astype(bool)
+
     def channel_score(d):
         m = a0[:, d]
-        m = (m - m.min()) / (m.max() - m.min() + 1e-7)
+        # min/max over VALID rows only: stream-padded zero rows must not
+        # shift the normalization (identical for exact-length inputs)
+        big = jnp.float32(3.4e38)
+        mmin = jnp.min(jnp.where(vmask, m, big))
+        mmax = jnp.max(jnp.where(vmask, m, -big))
+        m = (m - mmin) / (mmax - mmin + 1e-7)
         return probs_of(a0 * m[:, None])
 
     scores = _chunked_scores(channel_score, chans)        # (K, T)
     w = jax.nn.softmax(scores[:, class_idx], axis=0)      # (K, C)
-    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, chans])
-    return _finish(cam, valid)
+    pe = 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
+    cam = jnp.einsum("kc,pk->cp", w, a0[1:pe][:, chans])
+    return _finish(cam, valid[:pe])
 
 
 def ablation_cam(visual_params, logit_scale, x11, text_features, text_mask,
                  valid, class_idx, cfg: ClipConfig,
                  policy: precision.Policy = precision.DEFAULT,
-                 top_channels: int | None = None):
+                 top_channels: int | None = None,
+                 num_patches: int = None):
     """AblationCAM (ablation_cam.py surface): weight = (score - score with
     the channel zeroed) / score.
 
@@ -234,5 +254,6 @@ def ablation_cam(visual_params, logit_scale, x11, text_features, text_mask,
 
     abl = _chunked_scores(ablated, chans)                 # (K, T)
     w = ((base[None, :] - abl) / (base[None, :] + 1e-7))[:, class_idx]  # (K,C)
-    cam = jnp.einsum("kc,pk->cp", w, a0[1:][:, chans])
-    return _finish(cam, valid)
+    pe = 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
+    cam = jnp.einsum("kc,pk->cp", w, a0[1:pe][:, chans])
+    return _finish(cam, valid[:pe])

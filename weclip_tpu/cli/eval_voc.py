@@ -60,7 +60,8 @@ def run_eval(cfg, args, dataset_name: str):
                     crf_stride=args.crf_stride,
                     save_dir=args.work_dir if args.save_preds else None,
                     logits_dir=args.work_dir if args.save_logits else None)
-    log.info("cams score:\n%s", scores["cam"])
+    if "cam" in scores:                       # COCO val runs seg-only
+        log.info("cams score:\n%s", scores["cam"])
     log.info("segs score:\n%s", scores["seg"])
     log.info("msc segs score:\n%s", scores["msc_seg"])
     if "crf_seg" in scores:

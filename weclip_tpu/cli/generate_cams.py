@@ -89,9 +89,12 @@ def main():
             fz["visual"], batch.img, batch.pos_emb, batch.valid, cfg.clip,
             policy=policy)
         # slice the stream-padded features (vit.VisionFeatures) back to the
-        # grid length: the CAM-variant engines below keep the plain
-        # P = L - 1 contract (this is the offline generator — the copy is
-        # not on the headline path)
+        # grid length: the CAM engines accept stream-padded inputs via
+        # num_patches= (cam/variants.py, cam/gradcam.py), but the walk
+        # consumers below (fuse_attention_plain, sinkhorn) want the
+        # unpadded attention stack anyway, so one up-front slice is
+        # simplest (offline generator — the copy is not on the headline
+        # path)
         l0 = sb.valid.shape[1]
         feats = vit_mod.VisionFeatures(feats.layer_tokens[:, :, :l0],
                                        feats.layer_attn[:, :, :l0, :l0],

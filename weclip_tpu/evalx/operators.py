@@ -90,11 +90,6 @@ def resize_by_scale(img_chw: np.ndarray, out_hw, scale: float) -> np.ndarray:
     return np.tensordot(out, mw, axes=(2, 1)).transpose(1, 0, 2)
 
 
-def identity_grid_matrix(in_size: int, src_pad: int, canvas: int) -> np.ndarray:
-    """Degenerate operator (copy + clamp) for same-size paths."""
-    return clamp_resize_matrix(in_size, in_size, canvas, src_pad)
-
-
 def device_resize_matrix(in_size, out_size, canvas: int, src_pad: int,
                          align_corners: bool = False):
     """On-device closed-form clamp-resize matrix from *traced* sizes.
@@ -116,26 +111,6 @@ def device_resize_matrix(in_size, out_size, canvas: int, src_pad: int,
     src = jnp.clip(src, 0.0, in_f - 1.0)
     c = jnp.arange(src_pad, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - c[None, :]))
-
-
-class EvalOperators:
-    """Per-image operator bundle for one (scale-1) eval example."""
-
-    def __init__(self, ori_h: int, ori_w: int, h1: int, w1: int,
-                 grid1: int, canvas: int, patch: int = 16,
-                 h2: int = 0, w2: int = 0, grid2: int = 0):
-        gh1, gw1 = h1 // patch, w1 // patch
-        # CAM / seg grid -> original resolution (cv2-style, ac=False)
-        self.mh_cam = clamp_resize_matrix(gh1, ori_h, canvas, grid1)
-        self.mw_cam = clamp_resize_matrix(gw1, ori_w, canvas, grid1)
-        # model-input pixels -> original resolution (PAR path, ac=True)
-        self.mh_img = clamp_resize_matrix(h1, ori_h, canvas, canvas, True)
-        self.mw_img = clamp_resize_matrix(w1, ori_w, canvas, canvas, True)
-        if grid2:
-            gh2, gw2 = h2 // patch, w2 // patch
-            # 0.75-scale seg grid -> scale-1 grid (test_msc_flip_voc.py:86)
-            self.mh_s2 = clamp_resize_matrix(gh2, gh1, grid1, grid2)
-            self.mw_s2 = clamp_resize_matrix(gw2, gw1, grid1, grid2)
 
 
 def device_scale_matrix(in_size, out_size, scale: float, canvas: int,

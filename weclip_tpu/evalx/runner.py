@@ -386,12 +386,19 @@ class Evaluator:
                 os.makedirs(os.path.join(logits_dir, "logit"), exist_ok=True)
                 lg = np.asarray(self.msc_logits(seg_avg1, seg_avg2, sizes))
                 sg = np.asarray(seg_single)
+                # the reference's "segs" is the scale-1 grid at the image's
+                # own (h1//16, w1//16) extent (no square canvas upstream) —
+                # crop the padded grid so npy consumers that F.interpolate
+                # it don't stretch dead padding columns across the image
+                patch = self.cfg.clip.patch_size
+                h1s, w1s = np.asarray(sizes.h1), np.asarray(sizes.w1)
                 for j in range(n_real):
                     ex = examples[j]
                     oh, ow = ex["label"].shape
+                    gh1, gw1 = int(h1s[j]) // patch, int(w1s[j]) // patch
                     np.save(os.path.join(logits_dir, "logit",
                                          str(ex["name"]) + ".npy"),
-                            {"segs": sg[j][None],
+                            {"segs": sg[j, :, :gh1, :gw1][None],
                              "msc_segs": lg[j, :, :oh, :ow][None]})
 
             if crf_jax is not None:
@@ -450,10 +457,16 @@ class Evaluator:
         out = {
             "seg": metrics.scores(h_single),
             "msc_seg": metrics.scores(h_msc),
-            "cam": metrics.scores(h_cam),
         }
+        if self.with_cam:
+            # with_cam=False runs no CAM chain — its histogram is an
+            # all-zero-label pseudo-metric; omit it rather than return a
+            # number indistinguishable from a real collapsed-CAM result
+            out["cam"] = metrics.scores(h_cam)
         if post is not None or crf_jax is not None:
             out["crf_seg"] = metrics.scores(h_crf)
         if return_hists:
-            out["hists"] = {"seg": h_single, "msc_seg": h_msc, "cam": h_cam}
+            out["hists"] = {"seg": h_single, "msc_seg": h_msc}
+            if self.with_cam:
+                out["hists"]["cam"] = h_cam
         return out

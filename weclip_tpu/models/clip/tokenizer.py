@@ -24,7 +24,10 @@ import numpy as np
 try:
     import regex as re
 except ImportError:                               # pragma: no cover
-    import re  # type: ignore
+    # stdlib re cannot compile the \p{L}/\p{N} classes in _WORD_RE, so a
+    # silent fallback would only move the failure to a cryptic re.error at
+    # compile time — fail with an actionable message instead.
+    re = None  # type: ignore
 
 CONTEXT_LENGTH = 77
 _WORD_RE = (r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"
@@ -95,6 +98,11 @@ class Tokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        if re is None:
+            raise ImportError(
+                "the CLIP tokenizer's word pattern uses \\p{L}/\\p{N} "
+                "classes, which need the `regex` package — stdlib re "
+                "cannot compile them (pip install regex)")
         self._word_re = re.compile(_WORD_RE, re.IGNORECASE)
 
     def _bpe(self, token: str) -> str:

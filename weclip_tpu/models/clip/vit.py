@@ -352,10 +352,12 @@ def encode_text(params: Params, tokens: jax.Array, cfg: ClipConfig,
 # initialization (CLIP's scheme, clip/model.py:346-373)
 # ---------------------------------------------------------------------------
 
-def _init_block(rng, width: int) -> Params:
+def _init_block(rng, width: int, n_layers: int) -> Params:
     ks = jax.random.split(rng, 4)
     attn_std = width ** -0.5
-    proj_std = (width ** -0.5) * ((2 * 12) ** -0.5)
+    # reference: proj_std scales with the tower's layer count
+    # (clip/model.py:363, (2 * self.transformer.layers) ** -0.5)
+    proj_std = (width ** -0.5) * ((2 * n_layers) ** -0.5)
     fc_std = (2 * width) ** -0.5
     return {
         "ln_1": {"g": jnp.ones((width,)), "b": jnp.zeros((width,))},
@@ -389,7 +391,8 @@ def init_vision_params(rng: jax.Array, cfg: ClipConfig) -> Params:
         "class_embedding": jax.random.normal(ks[1], (w,)) * scale,
         "positional_embedding": jax.random.normal(ks[2], (g * g + 1, w)) * scale,
         "ln_pre": {"g": jnp.ones((w,)), "b": jnp.zeros((w,))},
-        "blocks": _stack_blocks([_init_block(ks[5 + i], w) for i in range(cfg.vision_layers)]),
+        "blocks": _stack_blocks([_init_block(ks[5 + i], w, cfg.vision_layers)
+                                 for i in range(cfg.vision_layers)]),
         "ln_post": {"g": jnp.ones((w,)), "b": jnp.zeros((w,))},
         "proj": jax.random.normal(ks[3], (w, cfg.embed_dim)) * scale,
     }
@@ -401,7 +404,9 @@ def init_text_params(rng: jax.Array, cfg: ClipConfig) -> Params:
     return {
         "token_embedding": jax.random.normal(ks[0], (cfg.vocab_size, w)) * 0.02,
         "positional_embedding": jax.random.normal(ks[1], (cfg.context_length, w)) * 0.01,
-        "blocks": _stack_blocks([_init_block(ks[4 + i], w) for i in range(cfg.transformer_layers)]),
+        "blocks": _stack_blocks([_init_block(ks[4 + i], w,
+                                             cfg.transformer_layers)
+                                 for i in range(cfg.transformer_layers)]),
         "ln_final": {"g": jnp.ones((w,)), "b": jnp.zeros((w,))},
         "text_projection": jax.random.normal(ks[2], (w, cfg.embed_dim)) * (w ** -0.5),
     }

@@ -241,7 +241,10 @@ def init_comer_params(rng, cfg: ComerConfig, vit_width: int = 768,
     dims = {"c3": c3, "c4": c4, "c5": c5}
     for li, (name, c) in enumerate(dims.items()):
         branch = {
-            f"d{d}_w": _conv_init(ks[6 + li * 4], c, c, 3)
+            # fold the dilation into the key: the parallel branches exist to
+            # learn DIFFERENT receptive fields and must not start identical
+            f"d{d}_w": _conv_init(jax.random.fold_in(ks[6 + li * 4], d),
+                                  c, c, 3)
             for d in cfg.mrfp_dilations
         }
         branch["fuse_w"] = _conv_init(ks[7 + li * 4], c, c * len(cfg.mrfp_dilations), 1)
@@ -335,8 +338,10 @@ def comer_forward(
                                 level_valid(1, 32)], axis=1)
     ms_valid = jnp.pad(ms_valid, [(0, 0), (0, lmsp - lms)])
 
-    # ViT-aligned trainable stream, initialized from the first interaction
-    # layer's tokens; padded to a lane-aligned length like ms
+    # ViT-aligned trainable stream; each stage adds ITS interaction layer's
+    # projected tokens exactly once (the stream starts at zero — a pre-loop
+    # init from idxs[0] would double-count the first stage's tokens).
+    # Padded to a lane-aligned length like ms.
     pp = valid_p.shape[1]
     ppp = -(-pp // 128) * 128
     vl_pad = jnp.pad(vit_layer_tokens, [(0, 0), (0, 0), (0, ppp - pp), (0, 0)])
@@ -349,7 +354,7 @@ def comer_forward(
                            preferred_element_type=jnp.float32)
                 + p["vit_proj_b"]).astype(cd)
 
-    v = vit_tok(idxs[0])
+    v = jnp.zeros((vl_pad.shape[1], ppp, p["vit_proj_b"].shape[0]), cd)
 
     for i, layer_idx in enumerate(idxs):
         cp = p["cti"][i]
