@@ -28,13 +28,11 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from weclip_tpu.cam.gradcam import _minmax_valid, gradcam_batch
 from weclip_tpu.core import precision
 from weclip_tpu.core.config import Config
 from weclip_tpu.models import weclip
 from weclip_tpu.models.clip import vit
 from weclip_tpu.refine import affinity as aff
-from weclip_tpu.refine.par import par_refine_auto
 
 
 class ScaleBatch(NamedTuple):
@@ -162,8 +160,6 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
     the classes the reference iterates over (clip_tool.py:139) — instead of
     all C_fg.  cls_idx (B, MC) holds the class ids, cls_active their
     validity."""
-    num_fg = cfg.dataset.num_classes - 1
-
     canvas_out, grid1 = prep.canvas_out, prep.grid1
     patch = cfg.clip.patch_size
 
@@ -203,57 +199,34 @@ def make_eval_scale1(cfg: Config, policy: precision.Policy = precision.DEFAULT,
             return seg_u, seg_avg, cam_labels
 
         # ---- pseudo-label chain on the unflipped half ---------------------
+        # the chain itself is the SHARED weclip.pseudo_label_chain (one
+        # parity surface for train + eval); only the fusion gating and the
+        # grid -> canvas upsample differ here
         feats_u = vit.VisionFeatures(feats.layer_tokens[:, :b],
                                      feats.layer_attn[:, :b],
                                      feats.valid[:b])
-        text_features = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], 0)
-        text_mask = jnp.concatenate(
-            [present_mask.astype(bool),
-             jnp.ones((b, frozen["bg_text"].shape[0]), bool)], axis=1)
-        cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"],
-                                feats_u.layer_tokens[-1], text_features,
-                                text_mask, feats_u.valid, num_fg, cfg.clip,
-                                policy, class_idx=cls_idx,
-                                num_patches=sb.valid.shape[1] - 1)
         valid_p = sb.valid[:, 1:].astype(jnp.float32)
-        # mode == 'val' always gates by the learned affinity
-        # (model_attn_aff_voc.py:146)
-        fused_attn = aff.fuse_attention_gated(
-            feats_u.layer_attn, cam_out.attn_last, attn_pred[:b],
-            cfg.cam.seg_trans_layers, valid_p)
 
-        def walk_one(cams_i, fused_i, valid_i, gh_i, gw_i):
-            trans = aff.sinkhorn_transition(fused_i, valid_i,
-                                            rounds=cfg.cam.sinkhorn_iters)
-            return aff.random_walk_cams(cams_i, trans, valid_i.reshape(g, g),
-                                        gh_i, gw_i, cfg.cam.bbox_threshold)
-
-        refined = jax.vmap(walk_one)(cam_out.cams, fused_attn,
-                                     sb.valid[:, 1:], sb.gh, sb.gw)
-
-        normed = jax.vmap(jax.vmap(
-            lambda c, v: _minmax_valid(c, v.astype(bool)),
-            in_axes=(0, None)))(refined, sb.valid[:, 1:])
+        def fuse(attn_last):
+            # mode == 'val' always gates by the learned affinity
+            # (model_attn_aff_voc.py:146)
+            return aff.fuse_attention_gated(
+                feats_u.layer_attn, attn_last, attn_pred[:b],
+                cfg.cam.seg_trans_layers, valid_p)
 
         # grid -> original resolution on the output canvas (clamp-replicated);
         # the resize operators are built on device from the per-image sizes
         mh_cam, mw_cam = _dev_ops_cam(sizes, canvas_out, grid1, patch)
-        mc = cls_idx.shape[1]
-        cam_ori = _resize_pair(normed.reshape(b, mc, g, g), mh_cam, mw_cam)
-        active = cls_active.astype(jnp.float32)[:, :, None, None]
-        fg_scores = jnp.where(active > 0, cam_ori, -1.0)
-        max_present = jnp.max(jnp.where(active > 0, cam_ori, 0.0),
-                              axis=1, keepdims=True)
-        bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
-        stack = jnp.concatenate([bg_score, fg_scores], axis=1)
+
+        def upsample(grid_cams):
+            return _resize_pair(grid_cams, mh_cam, mw_cam)
 
         mh_img, mw_img = _dev_ops_img(sizes, canvas_out, prep.canvas_in1)
         img_ori = _resize_pair(imgs1, mh_img, mw_img)
-        par_out = par_refine_auto(img_ori, stack, cfg.par, mesh=mesh)
-        idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)   # compacted ids
-        lut = jnp.concatenate(
-            [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], 1)
-        cam_labels = weclip._lut_select(lut, idx)
+        cam_labels, _ = weclip.pseudo_label_chain(
+            frozen, feats_u, sb.valid, present_mask, sb.gh, sb.gw, (g, g),
+            cfg, policy, cls_idx, cls_active, fuse, upsample, img_ori,
+            mesh=mesh)
         return seg_u, seg_avg, cam_labels
 
     return run

@@ -132,6 +132,89 @@ def backbone_and_heads(
     return feats, head_out, attn_pred, valid_p
 
 
+def pseudo_label_chain(
+    frozen: Dict[str, Any],
+    feats: vit.VisionFeatures,
+    batch_valid: jax.Array,            # (B, L) token validity (CLS first)
+    present_mask: jax.Array,           # (B, C_fg)
+    gh: jax.Array, gw: jax.Array,      # (B,) true grid extents
+    grid_hw: Tuple[int, int],          # padded grid (g0, g1)
+    cfg: Config,
+    policy: precision.Policy,
+    cls_idx: jax.Array,                # (B, MC) compacted class ids
+    cls_active: jax.Array,             # (B, MC) validity
+    fuse,                              # fn(attn_last) -> fused (B, P, P)
+    upsample,                          # fn((B, MC, g0, g1)) -> (B, MC, H, W)
+    imgs: jax.Array,                   # (B, 3, H, W) PAR guidance pixels
+    mesh=None,                         # data mesh for sharded PAR
+) -> Tuple[jax.Array, jax.Array]:
+    """The CAM -> walk -> PAR chain shared by training (pseudo_labels) and
+    the msc-flip evaluator (evalx/engine.make_eval_scale1) — the reference
+    runs the identical code for both (clip_tool.py:139-216,
+    model_attn_aff_voc.py:140-171); only the attention-fusion gating
+    (``fuse``: train gates on the iter threshold, val always gates) and the
+    grid -> output upsample (``upsample``: square resize on train crops,
+    per-image clamp operators on eval canvases) differ.
+
+    Returns (cam_labels (B, H, W) int32, cams_refined (B, MC, P))."""
+    b = batch_valid.shape[0]
+    g0, g1 = grid_hw
+    num_fg = cfg.dataset.num_classes - 1
+    num_bg = frozen["bg_text"].shape[0]
+    mc = cls_idx.shape[1]
+
+    # ---- GradCAM over the class bucket (cam/gradcam.py) ------------------
+    text_features = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], axis=0)
+    text_mask = jnp.concatenate(
+        [present_mask.astype(bool),
+         jnp.ones((b, num_bg), bool)], axis=1)
+    x11 = feats.layer_tokens[-1]           # input to block 11, stream length
+    cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"], x11,
+                            text_features, text_mask, feats.valid,
+                            num_fg, cfg.clip, policy, class_idx=cls_idx,
+                            num_patches=batch_valid.shape[1] - 1)
+
+    # ---- attention fusion (plain vs learned-affinity-gated) --------------
+    fused_attn = fuse(cam_out.attn_last)
+
+    # ---- Sinkhorn transition + box-masked random walk --------------------
+    valid_pb = batch_valid[:, 1:]
+
+    def walk_one(cams_i, fused_i, valid_i, gh_i, gw_i):
+        trans = aff.sinkhorn_transition(fused_i, valid_i,
+                                        rounds=cfg.cam.sinkhorn_iters)
+        vg = valid_i.reshape(g0, g1)
+        return aff.random_walk_cams(cams_i, trans, vg, gh_i, gw_i,
+                                    cfg.cam.bbox_threshold)
+
+    refined = jax.vmap(walk_one)(cam_out.cams, fused_attn, valid_pb,
+                                 gh, gw)                      # (B, MC, P)
+    refined = jax.lax.stop_gradient(refined)
+
+    # ---- normalize + upsample + bg + PAR + argmax -------------------------
+    # (clip_tool.py:202-216, model_attn_aff_voc.py:160-171)
+    from weclip_tpu.cam.gradcam import _minmax_valid
+
+    def norm_one(c, v):
+        return _minmax_valid(c, v.astype(bool))
+
+    normed = jax.vmap(jax.vmap(norm_one, in_axes=(0, None)))(refined, valid_pb)
+    cam_hw = upsample(normed.reshape(b, mc, g0, g1))
+
+    active = cls_active.astype(jnp.float32)[:, :, None, None]
+    fg_scores = jnp.where(active > 0, cam_hw, -1.0)
+    max_present = jnp.max(jnp.where(active > 0, cam_hw, 0.0), axis=1, keepdims=True)
+    bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
+    stack = jnp.concatenate([bg_score, fg_scores], axis=1)    # (B, 1+MC, H, W)
+
+    par_out = par_refine_auto(imgs, stack, cfg.par, mesh=mesh)
+    idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)
+    lut = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], axis=1)
+    cam_labels = _lut_select(lut, idx)
+    return cam_labels, refined
+
+
 def pseudo_labels(
     frozen: Dict[str, Any],
     feats: vit.VisionFeatures,
@@ -157,72 +240,31 @@ def pseudo_labels(
     h, w = out_hw
     g0, g1 = h // cfg.clip.patch_size, w // cfg.clip.patch_size
     num_fg = cfg.dataset.num_classes - 1
-    num_bg = frozen["bg_text"].shape[0]
     if cls_idx is None:
         cls_idx = jnp.broadcast_to(jnp.arange(num_fg, dtype=jnp.int32),
                                    (b, num_fg))
         cls_active = batch.present_mask.astype(bool)
-    mc = cls_idx.shape[1]
 
-    # ---- GradCAM over the class bucket (cam/gradcam.py) ------------------
-    text_features = jnp.concatenate([frozen["fg_text"], frozen["bg_text"]], axis=0)
-    text_mask = jnp.concatenate(
-        [batch.present_mask.astype(bool),
-         jnp.ones((b, num_bg), bool)], axis=1)
-    x11 = feats.layer_tokens[-1]           # input to block 11, stream length
-    cam_out = gradcam_batch(frozen["visual"], frozen["logit_scale"], x11,
-                            text_features, text_mask, feats.valid,
-                            num_fg, cfg.clip, policy, class_idx=cls_idx,
-                            num_patches=batch.valid.shape[1] - 1)
-
-    # ---- attention fusion (plain vs learned-affinity-gated) --------------
     valid_p = batch.valid[:, 1:].astype(jnp.float32)
     seg_attn = jax.lax.stop_gradient(attn_pred)
-    fused_attn = jax.lax.cond(
-        require_seg_trans,
-        lambda: aff.fuse_attention_gated(feats.layer_attn, cam_out.attn_last,
-                                         seg_attn, cfg.cam.seg_trans_layers,
-                                         valid_p),
-        lambda: aff.fuse_attention_plain(feats.layer_attn, cam_out.attn_last,
-                                         cfg.cam.attn_fuse_layers,
-                                         num_patches=batch.valid.shape[1] - 1))
 
-    # ---- Sinkhorn transition + box-masked random walk --------------------
-    valid_pb = batch.valid[:, 1:]
+    def fuse(attn_last):
+        # train-time gating: learned affinity only after the seg-trans
+        # threshold (model_attn_aff_voc.py:146)
+        return jax.lax.cond(
+            require_seg_trans,
+            lambda: aff.fuse_attention_gated(feats.layer_attn, attn_last,
+                                             seg_attn,
+                                             cfg.cam.seg_trans_layers,
+                                             valid_p),
+            lambda: aff.fuse_attention_plain(
+                feats.layer_attn, attn_last, cfg.cam.attn_fuse_layers,
+                num_patches=batch.valid.shape[1] - 1))
 
-    def walk_one(cams_i, fused_i, valid_i, gh_i, gw_i):
-        trans = aff.sinkhorn_transition(fused_i, valid_i,
-                                        rounds=cfg.cam.sinkhorn_iters)
-        vg = valid_i.reshape(g0, g1)
-        return aff.random_walk_cams(cams_i, trans, vg, gh_i, gw_i,
-                                    cfg.cam.bbox_threshold)
-
-    refined = jax.vmap(walk_one)(cam_out.cams, fused_attn, valid_pb,
-                                 batch.gh, batch.gw)          # (B, C_fg, P)
-    refined = jax.lax.stop_gradient(refined)
-
-    # ---- normalize + upsample + bg + PAR + argmax -------------------------
-    # (clip_tool.py:202-216, model_attn_aff_voc.py:160-171)
-    from weclip_tpu.cam.gradcam import _minmax_valid
-
-    def norm_one(c, v):
-        return _minmax_valid(c, v.astype(bool))
-
-    normed = jax.vmap(jax.vmap(norm_one, in_axes=(0, None)))(refined, valid_pb)
-    cam_hw = resize_bilinear(normed.reshape(b, mc, g0, g1), h, w)
-
-    active = cls_active.astype(jnp.float32)[:, :, None, None]
-    fg_scores = jnp.where(active > 0, cam_hw, -1.0)
-    max_present = jnp.max(jnp.where(active > 0, cam_hw, 0.0), axis=1, keepdims=True)
-    bg_score = jnp.power(1.0 - max_present, cfg.cam.bg_exponent)
-    stack = jnp.concatenate([bg_score, fg_scores], axis=1)    # (B, 1+MC, H, W)
-
-    par_out = par_refine_auto(batch.img, stack, cfg.par, mesh=mesh)
-    idx = jnp.argmax(par_out, axis=1).astype(jnp.int32)
-    lut = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32), cls_idx.astype(jnp.int32) + 1], axis=1)
-    cam_labels = _lut_select(lut, idx)
-    return cam_labels, refined
+    return pseudo_label_chain(
+        frozen, feats, batch.valid, batch.present_mask, batch.gh, batch.gw,
+        (g0, g1), cfg, policy, cls_idx, cls_active, fuse,
+        lambda grid: resize_bilinear(grid, h, w), batch.img, mesh=mesh)
 
 
 def forward_train(
