@@ -100,3 +100,19 @@ def test_pallas_dispatch_follows_declared_sharding(monkeypatch):
         cfg, mesh=dataclasses.replace(cfg.mesh, model_parallel=2))
     with pytest.raises(SystemExit, match="model_parallel"):
         common.build_eval_mesh(cfg_tp, _args(5), params, frozen)
+
+    # but '--mesh 1 = single chip' (the help-text promise) always works,
+    # even under a tensor-parallel config — single-device fast path
+    _, mesh_tp1, _, _ = common.build_eval_mesh(cfg_tp, _args(1), params,
+                                               frozen)
+    assert mesh_tp1 is None
+
+    # an Evaluator declares its own sharding: constructing a single-device
+    # one after a multi-device mesh re-enables the kernels (latest wins)
+    meshlib.make_mesh(data_parallel=8)
+    assert not runtime.pallas_ok()
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+    prep = make_prep(cfg, max_ori=64, resize_long=64)
+    pe = np.zeros((17, cfg.clip.vision_width), np.float32)
+    Evaluator(cfg, prep, pe, mesh=None)
+    assert runtime.pallas_ok()

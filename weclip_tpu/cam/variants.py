@@ -55,6 +55,14 @@ def _acts_and_grads(visual_params, logit_scale, x11, text_features,
     return a0, grads, probs
 
 
+def _pe(x11: jax.Array, num_patches: int | None) -> int:
+    """End of the CLS+patches block: 1 + P.  ``num_patches`` is the padded
+    GRID patch count when x11 is stream-padded (vit.VisionFeatures);
+    None = x11 is exactly (1 + P, D).  One definition for every engine so
+    the stream-padding contract cannot drift between methods."""
+    return 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
+
+
 def _finish(cam: jax.Array, valid: jax.Array) -> jax.Array:
     cam = jnp.maximum(cam, 0.0)
     return jax.vmap(lambda c: _minmax_valid(c, valid[1:].astype(bool)))(cam)
@@ -138,7 +146,6 @@ def cam_single(method: str, visual_params, logit_scale, x11, text_features,
     comes stream-padded from vit.vision_forward_frozen (Ls > 1 + P) — same
     contract as cam/gradcam.py: the forward runs on the full stream, the
     CAM assembly slices back to (C, P).  None = x11 is exactly (1+P, D)."""
-    pe = 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
     if method == "score_cam":
         return score_cam(visual_params, logit_scale, x11, text_features,
                          text_mask, valid, class_idx, cfg, policy,
@@ -150,6 +157,7 @@ def cam_single(method: str, visual_params, logit_scale, x11, text_features,
     acts, grads, _ = _acts_and_grads(visual_params, logit_scale, x11,
                                      text_features, text_mask, valid,
                                      class_idx, cfg, policy)
+    pe = _pe(x11, num_patches)
     acts, grads, valid = acts[:pe], grads[:, :pe], valid[:pe]
     return _finish(_WEIGHTED[method](acts, grads, valid), valid)
 
@@ -225,7 +233,7 @@ def score_cam(visual_params, logit_scale, x11, text_features, text_mask,
 
     scores = _chunked_scores(channel_score, chans)        # (K, T)
     w = jax.nn.softmax(scores[:, class_idx], axis=0)      # (K, C)
-    pe = 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
+    pe = _pe(x11, num_patches)
     cam = jnp.einsum("kc,pk->cp", w, a0[1:pe][:, chans])
     return _finish(cam, valid[:pe])
 
@@ -254,6 +262,6 @@ def ablation_cam(visual_params, logit_scale, x11, text_features, text_mask,
 
     abl = _chunked_scores(ablated, chans)                 # (K, T)
     w = ((base[None, :] - abl) / (base[None, :] + 1e-7))[:, class_idx]  # (K,C)
-    pe = 1 + (num_patches if num_patches is not None else x11.shape[0] - 1)
+    pe = _pe(x11, num_patches)
     cam = jnp.einsum("kc,pk->cp", w, a0[1:pe][:, chans])
     return _finish(cam, valid[:pe])

@@ -116,6 +116,14 @@ def build_eval_mesh(cfg: Config, args, params, frozen):
     total = getattr(args, "mesh", -1)
     if total in (-1, 0, None):
         total = (jax.device_count() // mp) * mp
+    if total <= 1:
+        # Single-device eval ('--mesh 1 = single chip', regardless of the
+        # config's tensor-parallel width): declare so the Pallas kernels
+        # stay enabled even when the host exposes more devices
+        # (core/runtime.pallas_ok).
+        from weclip_tpu.core.runtime import declare_sharded_compute
+        declare_sharded_compute(False)
+        return cfg, None, params, frozen
     if total % mp != 0:
         raise SystemExit(
             f"--mesh {total} is not a multiple of cfg.mesh.model_parallel="
@@ -123,12 +131,6 @@ def build_eval_mesh(cfg: Config, args, params, frozen):
             f"tensor-parallel width (or set mesh.model_parallel in the "
             f"config)")
     n = total // mp
-    if total <= 1:
-        # Single-device eval: declare so the Pallas kernels stay enabled
-        # even when the host exposes more devices (core/runtime.pallas_ok).
-        from weclip_tpu.core.runtime import declare_sharded_compute
-        declare_sharded_compute(False)
-        return cfg, None, params, frozen
     from weclip_tpu.parallel import mesh as meshlib
     mesh = meshlib.make_mesh(data_parallel=n, model_parallel=mp)
     bsz = ((cfg.eval.batch_images + n - 1) // n) * n

@@ -96,6 +96,12 @@ class Evaluator:
         self.cfg = cfg
         self.prep = prep
         self.mesh = mesh
+        # the Evaluator owns its sharding decision: declare it so
+        # pallas_ok() reflects THIS program even if an earlier make_mesh in
+        # the same process declared multi-device compute (api.py/bench.py
+        # build single-device Evaluators directly, without a CLI mesh)
+        from weclip_tpu.core.runtime import declare_sharded_compute
+        declare_sharded_compute(mesh is not None and mesh.size > 1)
         self.pe_table = np.asarray(pe_table, np.float32)
         self.with_cam = with_cam
         self.msc = msc
