@@ -16,11 +16,6 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-class _MP:
-    def setattr(self, obj, name, value, raising=True):
-        setattr(obj, name, value)
-
-
 def main():
     from tests.test_composite_golden import (_install_reference, _stub_mmcv,
                                              build_tiny_pair, _our_forward)

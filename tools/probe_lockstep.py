@@ -147,8 +147,6 @@ def main(n_steps=8, gate_base=14998):
                   f"d_seg={abs(r[0]-o[0]):.2e} d_attn={abs(r[1]-o[1]):.2e}")
 
         # final param comparison (decoder+fuse)
-        ref_sd_fuse = {k: v.detach().numpy()
-                       for k, v in m.decoder_fts_fuse.state_dict().items()}
         from tests.test_composite_golden import _head_params_from_torch
         ref_tree = _head_params_from_torch(m.decoder_fts_fuse, m.decoder)
         flat_r = jax.tree_util.tree_leaves(ref_tree)

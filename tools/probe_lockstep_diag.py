@@ -81,10 +81,6 @@ def main():
         print("ours(our seg, our cam) =", ours)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def main2():
     """Same pair, but through make_train_step — isolates step.py."""
     from tests.test_composite_golden import _install_reference, build_tiny_pair

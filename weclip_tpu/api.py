@@ -45,6 +45,12 @@ class WeCLIPPipeline:
 
     def _evaluator(self, max_ori: int, with_cam: bool, msc: bool):
         from weclip_tpu.evalx.runner import Evaluator, make_prep
+        # bucket the output canvas: make_prep rounds max_ori up to a
+        # multiple of 8 anyway, so keying on the rounded value is
+        # numerically identical and avoids one full XLA compile per
+        # distinct image dimension (segment()/pseudo_label() slice the
+        # canvas back to (oh, ow))
+        max_ori = -(-max_ori // 8) * 8
         key = (max_ori, with_cam, msc)
         if key not in self._evaluators:
             prep = make_prep(self.cfg, max_ori=max_ori,
@@ -65,7 +71,12 @@ class WeCLIPPipeline:
             present[:] = True
         else:
             for c in class_ids:
-                present[int(c)] = True
+                c = int(c)
+                if not 0 <= c < num_fg:
+                    raise ValueError(
+                        f"class id {c} out of range [0, {num_fg}) — ids are "
+                        f"0-based foreground classes (background is implicit)")
+                present[c] = True
         oh, ow = image_rgb.shape[:2]
         # normalization happens on device from the raw uint8 pixels
         # (Evaluator.build_batch reads only img_raw)

@@ -147,13 +147,15 @@ def build_eval_mesh(cfg: Config, args, params, frozen):
 def apply_train_args(cfg: Config, args) -> Config:
     ds = cfg.dataset
     tr = cfg.train
-    if args.crop_size:
+    # parser defaults are None — check identity, not truthiness, so an
+    # explicit 0 override (e.g. --radius 0 ablations) is honored
+    if args.crop_size is not None:
         ds = dataclasses.replace(ds, crop_size=args.crop_size)
     if getattr(args, "decoded_cache", None):
         ds = dataclasses.replace(ds, decoded_cache_dir=args.decoded_cache)
-    if args.radius:
+    if args.radius is not None:
         tr = dataclasses.replace(tr, radius=args.radius)
-    if args.max_iters:
+    if args.max_iters is not None:
         tr = dataclasses.replace(tr, max_iters=args.max_iters)
     wd = cfg.work_dir
     if args.work_dir:
@@ -183,8 +185,6 @@ def apply_train_args(cfg: Config, args) -> Config:
 def load_train_config(args, dataset: str) -> Config:
     base = coco_config() if dataset == "coco" else Config()
     cfg = load_config(args.config) if args.config else base
-    if dataset == "coco" and not args.config:
-        cfg = base
     cfg = apply_train_args(cfg, args)
     os.makedirs(os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir),
                 exist_ok=True)
