@@ -166,3 +166,31 @@ def test_model_axis_tp_bf16_drift_bounded():
     for a, b in zip(jax.tree_util.tree_leaves(params_dp),
                     jax.tree_util.tree_leaves(params_tp)):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
+
+
+def test_comer_sharded_step_matches_single_device():
+    """SURVEY §2.12 under the mesh: the CoMer branch (CNN stem, MRFP, CTI
+    cross-attention) trains data-parallel with updates identical to the
+    1-device layout — its ops must all be GSPMD-partitionable."""
+    from weclip_tpu.core.config import ComerConfig
+    assert jax.device_count() >= 8
+    cfg = tiny.tiny_config()
+    cfg = dataclasses.replace(
+        cfg, comer=ComerConfig(enabled=True, stem_width=8,
+                               pyramid_dims=(16, 16, 16),
+                               mrfp_dilations=(1, 2), cti_heads=2,
+                               interaction_indexes=(2, 5)))
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = _batch8(cfg, clip_params)
+
+    loss_1, params_1 = _run(cfg, frozen, batch, shard_mesh=None)
+    mesh = meshlib.make_mesh(data_parallel=8)
+    loss_8, params_8 = _run(cfg, frozen, batch, shard_mesh=mesh)
+
+    np.testing.assert_allclose(loss_1, loss_8, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(params_1)
+    flat8 = jax.tree_util.tree_leaves(params_8)
+    assert any("comer" in jax.tree_util.keystr(k)
+               for k, _ in jax.tree_util.tree_leaves_with_path(params_1))
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-7)
