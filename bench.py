@@ -129,10 +129,13 @@ def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3):
         dt_dev = min(dt_dev, time.perf_counter() - t0)
 
     # end-to-end: fresh host batches rotate through a depth-1 prefetch
-    # thread inside the window (the Evaluator.run overlap pattern)
+    # thread inside the window (the Evaluator.run overlap pattern).
+    # More windows than the device loop: the number is host-sensitive on
+    # this 1-vCPU box (a background process during any window inflates it),
+    # and min-of-N is only robust when at least one window runs quiet.
     pool = concurrent.futures.ThreadPoolExecutor(1)
     dt_e2e = float("inf")
-    for _ in range(windows):
+    for _ in range(windows * 2):
         built = ev.build_batch(ex_sets[0])
         t0 = time.perf_counter()
         fut = pool.submit(ev.build_batch, ex_sets[1 % len(ex_sets)])

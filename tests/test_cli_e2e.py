@@ -211,6 +211,33 @@ def test_make_voc_labels_cli(voc_tree, tmp_path):
         np.testing.assert_array_equal(d[n], ref[n])
 
 
+def test_make_voc_labels_derives_lists_and_falls_back(voc_tree, tmp_path):
+    """With no pre-existing list txt the maker derives it from the VOC
+    ImageSets/Segmentation split, and label PNGs fall back from the
+    SegmentationClassAug dir to SegmentationClass (plain-VOC layouts)."""
+    import shutil
+    from weclip_tpu.cli import make_voc_labels
+    root = tmp_path / "voc_plain"
+    shutil.copytree(voc_tree, root)
+    # plain layout: labels live in SegmentationClass, lists in ImageSets
+    (root / "SegmentationClassAug").rename(root / "SegmentationClass")
+    iset = root / "ImageSets" / "Segmentation"
+    iset.mkdir(parents=True)
+    (iset / "val.txt").write_text("\n".join(NAMES[:3]))
+    out_dir = tmp_path / "derived_lists"
+    out_dir.mkdir()
+    with _argv(["make_voc_labels", "--root", str(root),
+                "--name_list_dir", str(out_dir), "--splits", "val,missing"]):
+        make_voc_labels.main()
+    # list derived from ImageSets; the absent 'missing' split is skipped
+    assert (out_dir / "val.txt").read_text().split() == NAMES[:3]
+    assert not (out_dir / "missing.txt").exists()
+    d = np.load(out_dir / "cls_labels_onehot.npy", allow_pickle=True).item()
+    assert set(d) == set(NAMES[:3])
+    for n in d:
+        assert d[n][2] == 1.0 and d[n].sum() == 1.0
+
+
 COCO_TRAIN = [f"COCO_train2014_{i:012d}" for i in range(16)]
 COCO_VAL = [f"COCO_val2014_{i:012d}" for i in range(4)]
 
