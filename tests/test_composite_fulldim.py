@@ -102,3 +102,64 @@ def test_fulldim_bf16_composite(cpu_cuda, tmp_path):
         (cam16_t.detach().numpy() == ref_labels).mean())
     assert agree >= ref16_agree - 0.01, (agree, ref16_agree)
     assert agree >= 0.95, f"pseudo-label agreement {agree:.4f}"
+
+
+def test_fulldim_bf16_mscflip_eval(cpu_cuda, tmp_path):
+    """The EVAL protocol at production width under the shipped policy: the
+    reference msc-flip validate loop (test_msc_flip_voc.py:32-113, executed
+    against the actual reference module) vs the batched evalx engine at
+    width 768 / 12 heads / bf16 — the exact program family the headline
+    bench measures.  Tiny-dims msc parity is pinned at fp32 in
+    test_composite_msc; this closes the 'headline bench and parity story
+    describe two different programs' gap for the eval side."""
+    import dataclasses
+
+    torch = cpu_cuda
+    lab0 = np.zeros((120, 149), np.uint8)
+    lab0[20:70, 15:90] = 5                        # -> class 4
+    lab0[:4, :] = 255
+    lab1 = np.zeros((135, 110), np.uint8)
+    lab1[30:100, 20:80] = 15                      # -> class 14
+    labels = [("e0", lab0), ("e1", lab1)]
+    (model, names, params, frozen, cfg, imgs, present) = build_tiny_pair(
+        torch, tmp_path, labels=labels,
+        vit_width=768, embed=256, vision_layers=12, text_width=512,
+        clip_embed_dim=512)
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, batch_images=2))
+
+    from tests.test_composite_msc import _ref_validate
+    from weclip_tpu.data.transforms import normalize_img
+    rng = np.random.default_rng(21)
+    examples = []
+    for n, lab in labels:
+        raw = rng.integers(0, 256, lab.shape + (3,)).astype(np.uint8)
+        examples.append({"name": n,
+                         "img": normalize_img(raw).transpose(2, 0, 1),
+                         "img_raw": raw,
+                         "label": lab.astype(np.int32),
+                         "present_mask": present_from_label(lab)})
+
+    h_seg, h_msc, h_cam = _ref_validate(torch, model, examples,
+                                        resize_long=128)
+
+    from weclip_tpu.core import precision
+    from weclip_tpu.evalx.runner import Evaluator, make_prep
+    prep = make_prep(cfg, max_ori=152, resize_long=128)
+    pe = np.asarray(frozen["visual"]["positional_embedding"])
+    ev = Evaluator(cfg, prep, pe, policy=precision.make_policy("bfloat16"),
+                   with_cam=True, msc=True)
+    out = ev.run(params, frozen, examples, return_hists=True)
+
+    total = sum((lab != 255).sum() for _, lab in labels)
+    # bf16 vs the fp32 reference: the seg path is stable (fulldim train
+    # composite: argmax agreement 1.0); the CAM chain inherits the ~0.97
+    # pseudo-label envelope the reference's own shipped fp16 sits in
+    for key, ref_h, tol in (("seg", h_seg, 0.03), ("msc_seg", h_msc, 0.03),
+                            ("cam", h_cam, 0.08)):
+        ours_h = out["hists"][key]
+        assert ours_h.sum() == ref_h.sum() == total, (
+            key, ours_h.sum(), ref_h.sum(), total)
+        mismatch = np.abs(ours_h - ref_h).sum() / 2 / total
+        print(f"[fulldim-msc-bf16] {key}: mismatch {mismatch:.4f}")
+        assert mismatch <= tol, f"{key}: {mismatch:.4f} of pixels disagree"

@@ -40,18 +40,20 @@ def _odd_labels():
     return [("v0", lab0), ("v1", lab1), ("v2", lab2)]
 
 
-def _ref_validate(torch, model, examples):
+def _ref_validate(torch, model, examples, resize_long=None):
     """test_msc_flip_voc.py:32-113 minus the DataLoader/np.save plumbing."""
     import torch.nn.functional as F
     sys.path.insert(0, REF) if REF not in sys.path else None
     from utils import evaluate
 
+    if resize_long is None:
+        resize_long = RESIZE_LONG
     preds, msc_preds, cams, gts = [], [], [], []
     for ex in examples:
         inputs = torch.from_numpy(ex["img"])[None]
         names = [ex["name"], ex["name"]]
         _, _, h, w = inputs.shape
-        ratio = RESIZE_LONG / max(h, w)
+        ratio = resize_long / max(h, w)
         _h, _w = int(h * ratio), int(w * ratio)
         inputs = F.interpolate(inputs, size=(_h, _w), mode="bilinear",
                                align_corners=False)
