@@ -98,3 +98,45 @@ def test_random_walk_refine(rng):
         jnp.int32(g), jnp.int32(g), 0.4))
     assert out.shape == (2, p)
     assert np.isfinite(out).all()
+
+
+def test_sinkhorn_walk_matches_reference_math(rng):
+    """Independent numpy oracle mirroring clip_tool.py:64-80
+    (compute_trans_mat: 3 col/row normalization rounds, symmetrize, one
+    self-matmul) and :179-192 (column-box-masked walk, trans @ cam) — the
+    earlier walk test only asserted shape/finiteness.  Box masks are
+    separately cv2-validated (test_bbox.py), so the oracle may reuse
+    scoremap_box_mask."""
+    import jax.numpy as jnp
+    from weclip_tpu.refine.affinity import (random_walk_cams,
+                                            sinkhorn_transition)
+    from weclip_tpu.refine.bbox import scoremap_box_mask
+
+    g = 7
+    p = g * g
+    aff = rng.uniform(0.05, 1.0, (p, p)).astype(np.float32)
+    cams = rng.uniform(0.0, 1.0, (3, p)).astype(np.float32)
+    thr = 0.4
+
+    # --- reference math, plain numpy (float64 to stand apart) -------------
+    t = aff.astype(np.float64)
+    for _ in range(3):
+        t = t / t.sum(axis=0, keepdims=True)
+        t = t / t.sum(axis=1, keepdims=True)
+    t = (t + t.T) / 2.0
+    t = t @ t
+    expected = []
+    for c in range(3):
+        box = np.asarray(scoremap_box_mask(
+            jnp.asarray(cams[c].reshape(g, g)), jnp.ones((g, g), bool),
+            jnp.int32(g), jnp.int32(g), thr)).reshape(-1)
+        expected.append((t * box[None, :]) @ cams[c])
+    expected = np.stack(expected)
+
+    # --- ours --------------------------------------------------------------
+    trans = sinkhorn_transition(jnp.asarray(aff), jnp.ones((p,), bool),
+                                rounds=3)
+    ours = np.asarray(random_walk_cams(jnp.asarray(cams), trans,
+                                       jnp.ones((g, g), bool),
+                                       jnp.int32(g), jnp.int32(g), thr))
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-6)

@@ -109,3 +109,37 @@ def test_variants_stream_padded_num_patches(setup, method):
     tol = 1e-4 if method == "score_cam" else 1e-5
     np.testing.assert_allclose(np.asarray(padded), np.asarray(exact),
                                rtol=tol, atol=tol)
+
+
+def test_eigen_methods_match_numpy_svd_oracle(setup):
+    """Independent numpy oracle for the eigen methods (upstream
+    svd_on_activations.get_2d_projection: center over positions, project
+    onto the first right-singular vector).  SVD sign is implementation-
+    defined, so agreement is up to a global sign per map — upstream has
+    the same indeterminacy (it relies on centering + the ReLU epilogue)."""
+    cfg, frozen, x11, text, tmask, valid, cls = setup
+    rng2 = np.random.default_rng(9)
+    acts = jnp.asarray(rng2.standard_normal((17, cfg.clip.vision_width)),
+                       jnp.float32)
+    grads = jnp.asarray(rng2.standard_normal((3, 17, cfg.clip.vision_width)),
+                        jnp.float32)
+
+    def np_projection(x):
+        x = x - x.mean(axis=0)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        return x @ vt[0]
+
+    a_np = np.asarray(acts)[1:]
+    expect_eigen = np_projection(a_np)
+    got_eigen = np.asarray(variants.eigen_cam(acts, grads, valid))
+    for c in range(3):
+        err = min(np.abs(got_eigen[c] - expect_eigen).max(),
+                  np.abs(got_eigen[c] + expect_eigen).max())
+        assert err < 1e-4, err
+
+    got_eg = np.asarray(variants.eigen_grad_cam(acts, grads, valid))
+    for c in range(3):
+        expect_c = np_projection(a_np * np.asarray(grads)[c, 1:])
+        err = min(np.abs(got_eg[c] - expect_c).max(),
+                  np.abs(got_eg[c] + expect_c).max())
+        assert err < 1e-4, err

@@ -113,3 +113,68 @@ def test_weclip_comer_train_step():
     assert np.isfinite(float(metrics.loss))
     out_w_after = np.asarray(state2.params["comer"]["out_w"])
     assert not np.array_equal(out_w_before, out_w_after)
+
+
+def test_cti_cross_attention_matches_torch_mha():
+    """Independent torch oracle for the CTI building block: with the same
+    transplanted q/k/v/o weights, cross_attention must equal
+    torch.nn.MultiheadAttention (the standard scaled-dot-product semantics
+    ViT-CoMer's CTI is defined on) — pins the 1/sqrt(d_head) scale, head
+    split, softmax axis, and projection wiring."""
+    import torch
+
+    c, heads, lq, lk, b = 16, 2, 6, 10, 2
+    rng = np.random.default_rng(3)
+    p = {
+        "q_w": jnp.asarray(rng.standard_normal((c, c)) * 0.2, jnp.float32),
+        "q_b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+        "k_w": jnp.asarray(rng.standard_normal((c, c)) * 0.2, jnp.float32),
+        "k_b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+        "v_w": jnp.asarray(rng.standard_normal((c, c)) * 0.2, jnp.float32),
+        "v_b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+        "o_w": jnp.asarray(rng.standard_normal((c, c)) * 0.2, jnp.float32),
+        "o_b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+    }
+    q = rng.standard_normal((b, lq, c)).astype(np.float32)
+    kv = rng.standard_normal((b, lk, c)).astype(np.float32)
+
+    from weclip_tpu.models.comer import cross_attention
+    ours = np.asarray(cross_attention(jnp.asarray(q), jnp.asarray(kv), p,
+                                      heads, policy=precision.FP32))
+
+    mha = torch.nn.MultiheadAttention(c, heads, batch_first=True)
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(torch.from_numpy(np.concatenate(
+            [np.asarray(p["q_w"]), np.asarray(p["k_w"]),
+             np.asarray(p["v_w"])], 0)))
+        mha.in_proj_bias.copy_(torch.from_numpy(np.concatenate(
+            [np.asarray(p["q_b"]), np.asarray(p["k_b"]),
+             np.asarray(p["v_b"])], 0)))
+        mha.out_proj.weight.copy_(torch.from_numpy(np.asarray(p["o_w"])))
+        mha.out_proj.bias.copy_(torch.from_numpy(np.asarray(p["o_b"])))
+        ref, _ = mha(torch.from_numpy(q), torch.from_numpy(kv),
+                     torch.from_numpy(kv), need_weights=False)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=2e-5, atol=2e-5)
+
+
+def test_mrfp_branch_dilations_match_torch_conv():
+    """MRFP's parallel 3x3 convs must actually apply their advertised
+    dilation rates — oracle: torch conv2d with the same weights and
+    explicit dilation (a branch built with the wrong rate would otherwise
+    pass every trains-fine test)."""
+    import torch
+    import torch.nn.functional as F
+
+    from weclip_tpu.models.comer import conv2d
+
+    c, h, w = 8, 12, 12
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, c, h, w)).astype(np.float32)
+    for d in (1, 2, 3):
+        wts = rng.standard_normal((c, c, 3, 3)).astype(np.float32) * 0.2
+        ours = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(wts),
+                                 dilation=d, policy=precision.FP32))
+        ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(wts),
+                       padding=d, dilation=d).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"dilation {d}")

@@ -129,3 +129,26 @@ def test_jax_mean_field_agrees_with_native_lattice():
     assert agree[2] >= 0.99, agree
     assert agree[4] >= 0.99, agree
     assert agree[8] >= 0.98, agree
+
+
+def test_permutohedral_normalized_ratio_tight(rng):
+    """The mean field consumes the NORMALIZED filter (filt(v)/filt(1),
+    symmetric normalization like pydensecrf): lattice quantization errors
+    largely cancel in the ratio, so this pins it elementwise — a
+    systematic bandwidth/scale error in the blur stage (which the
+    correlation test is invariant to) fails here."""
+    n = 300
+    feats = rng.uniform(0, 6, (n, 2)).astype(np.float32)
+    vals = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32)
+    aug = np.concatenate([vals, np.ones((n, 1), np.float32)], 1)
+    ours = permutohedral_filter(feats, aug)
+    ref = brute_force_gauss(feats, aug)
+    ours_ratio = ours[:, :3] / ours[:, 3:4]
+    ref_ratio = ref[:, :3] / ref[:, 3:4]
+    err = np.abs(ours_ratio - ref_ratio)
+    assert np.median(err) < 0.02, np.median(err)
+    assert err.max() < 0.25, err.max()
+    # and a constant field is preserved exactly under normalization
+    const = permutohedral_filter(feats, np.full((n, 2), 0.7, np.float32))
+    ones = permutohedral_filter(feats, np.ones((n, 1), np.float32))
+    np.testing.assert_allclose(const / ones, 0.7, rtol=1e-4)

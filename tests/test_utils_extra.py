@@ -75,6 +75,58 @@ def test_sgd_optimizer_steps():
     assert float(jnp.abs(updates["w"]).sum()) > 0.0
 
 
+def test_sgd_lockstep_matches_reference_polywarmupsgd(tmp_path):
+    """Lockstep oracle vs the reference ``PolyWarmupSGD``
+    (utils/optimizer.py:35-65): same init, same per-step grads, 12 steps
+    crossing the warmup boundary — pins the class's OWN (quirky) schedule,
+    torch's grad-coupled weight decay, and the momentum buffer wiring."""
+    import importlib.util
+    import os
+
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    ref = "/root/reference/utils/optimizer.py"
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("reference checkout not present")
+    spec = importlib.util.spec_from_file_location("ref_optimizer", ref)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from weclip_tpu.core.config import OptimizerConfig
+    from weclip_tpu.train.optimizer import make_sgd_optimizer
+
+    cfg = OptimizerConfig(learning_rate=2e-3, weight_decay=0.01,
+                          warmup_iter=5, head_lr_mult=1.0, power=0.9)
+    max_iters = 20
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal(6).astype(np.float32)
+    grads_seq = [rng.standard_normal(6).astype(np.float32)
+                 for _ in range(12)]
+
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = mod.PolyWarmupSGD([p_t], lr=cfg.learning_rate,
+                            weight_decay=cfg.weight_decay, betas=(0.9, 0.999),
+                            warmup_iter=cfg.warmup_iter, max_iter=max_iters,
+                            warmup_ratio=cfg.warmup_ratio, power=cfg.power)
+    for g in grads_seq:
+        opt.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    tx = make_sgd_optimizer(cfg, max_iters=max_iters)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               p_t.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_download_checkpoint_sha256(tmp_path):
     """sha256-verified fetch (reference clip/clip.py:44-73) on a local
     file:// source: verified download, cached reuse, corruption rejection."""

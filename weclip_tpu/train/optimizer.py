@@ -35,13 +35,37 @@ def make_optimizer(cfg: OptimizerConfig, max_iters: int) -> optax.GradientTransf
     )
 
 
+def sgd_poly_warmup_schedule(cfg: OptimizerConfig, max_iters: int,
+                             base_lr: float):
+    """``PolyWarmupSGD``'s OWN schedule (utils/optimizer.py:49-59), which
+    differs from the AdamW one and is reproduced verbatim, quirks
+    included: during warmup the multiplier is ``(1 - t/W)**power * 10``
+    (it DECAYS from 10x to 0 — apparently inverted, but that is what the
+    reference computes), then poly decay over the REMAINING iters
+    ``(1 - (t-W)/(T-W))**power``.  Dead code upstream (no driver uses it);
+    kept surface-faithful rather than silently substituting the AdamW
+    warmup."""
+    def schedule(step):
+        t = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
+        w = float(cfg.warmup_iter)
+        warm = jnp.power(jnp.maximum(1.0 - t / w, 0.0), cfg.power) * 10.0
+        poly = jnp.power(
+            jnp.maximum(1.0 - (t - w) / (max_iters - w), 0.0), cfg.power)
+        return base_lr * jnp.where(t < w, warm, poly)
+    return schedule
+
+
 def make_sgd_optimizer(cfg: OptimizerConfig, max_iters: int,
                        momentum: float = 0.9) -> optax.GradientTransformation:
     """Poly-warmup SGD (utils/optimizer.py:35-65 ``PolyWarmupSGD`` — unused
-    by the reference drivers but part of its optimizer surface)."""
+    by the reference drivers but part of its optimizer surface).
+    torch.optim.SGD couples weight decay into the gradient BEFORE the
+    momentum buffer — optax.add_decayed_weights ahead of optax.sgd matches
+    that exactly (lockstep-tested against the reference class)."""
     base_lr = cfg.learning_rate * cfg.head_lr_mult
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
-        optax.sgd(learning_rate=poly_warmup_schedule(cfg, max_iters, base_lr),
-                  momentum=momentum),
+        optax.sgd(
+            learning_rate=sgd_poly_warmup_schedule(cfg, max_iters, base_lr),
+            momentum=momentum),
     )
