@@ -6,6 +6,10 @@ label -> fg/bg-split CE + 0.1*aff loss -> PolyWarmupAdamW step) against our
 ``make_train_step`` on identical tiny weights and a fixed batch, crossing
 the iter>15000 seg-trans gate (model_attn_aff_voc.py:146) mid-run via the
 iter_num offset — the compounding-drift scenario SURVEY hard-part #5 names.
+The COCO variant runs the same lockstep through model_attn_aff_coco +
+dist_clip_coco.py's identical loss loop (:247-266), crossing ITS 40k gate
+(model_attn_aff_coco.py:141) with the 81-class tables, 0.7 bbox threshold
+and 10-layer seg-trans window in play.
 
 Both sides train deterministically (dropout off; the reference trains with
 dropout active, an RNG stream no cross-framework test can align).
@@ -66,13 +70,15 @@ def ref_get_seg_loss(torch, F, pred, label, ignore_index=255):
     return (bg_loss + fg_loss) * 0.5
 
 
-def test_lockstep_training_dynamics(cpu_cuda, tmp_path):
+@pytest.mark.parametrize("dataset", ["voc", "coco"])
+def test_lockstep_training_dynamics(cpu_cuda, tmp_path, dataset):
     torch = cpu_cuda
     import torch.nn.functional as F
 
     labels = square_labels()
+    gate_base = GATE_BASE if dataset == "voc" else 39998   # coco gate: >40000
     (m, names, params, frozen, cfg, imgs, present) = build_tiny_pair(
-        torch, tmp_path, iter_num=GATE_BASE, labels=labels)
+        torch, tmp_path, iter_num=gate_base, labels=labels, dataset=dataset)
     cfg = dataclasses.replace(
         cfg, dataset=dataclasses.replace(cfg.dataset, crop_size=64))
 
@@ -144,7 +150,7 @@ def test_lockstep_training_dynamics(cpu_cuda, tmp_path):
     for _ in range(N_STEPS):
         state, met = fn(state, frozen, batch, None,
                         jnp.asarray(ci), jnp.asarray(ca),
-                        extra_iter_num=jnp.asarray(GATE_BASE, jnp.int32))
+                        extra_iter_num=jnp.asarray(gate_base, jnp.int32))
         our_hist.append((float(met.seg_loss), float(met.attn_loss)))
 
     # ---- per-step losses track through the gate crossing -----------------
