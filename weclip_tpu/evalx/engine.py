@@ -44,7 +44,12 @@ class ScaleBatch(NamedTuple):
     tunnel ships ~86 MB/s: shipping resized fp32 canvases (the r2 design)
     cost ~600 ms/round of transfer; raw uint8 originals cost ~1/6 of that.
     """
-    img: jax.Array          # (B, 3, Co, Co) uint8 original on the out canvas
+    img: jax.Array          # (B, Co, Co, 3) uint8 original on the out canvas
+    # HWC, not CHW: the host stages each raw image as one contiguous row
+    # copy plus pad-region-only zeroing (3.3x cheaper than the strided
+    # HWC->CHW scatter on this 1-core host — tools/profile_hostprep.py);
+    # the device transposes inside prepare_scale1_images where XLA fuses
+    # it into the normalize for free.
     pos_emb: jax.Array      # (B, L, D)
     valid: jax.Array        # (B, L)
     gh: jax.Array           # (B,)
@@ -109,10 +114,12 @@ def prepare_scale1_images(img_u8: jax.Array, sizes: EvalSizes, cfg: Config,
     align_corners=False == the half-pixel mapping of device_resize_matrix).
     """
     from weclip_tpu.evalx.operators import device_resize_matrix as drm
+    # img_u8 arrives HWC (cheap host staging; see ScaleBatch.img) — the
+    # transpose to NCHW fuses into the convert/normalize on device.
     mean = jnp.asarray(cfg.dataset.mean, jnp.float32)[None, :, None, None]
     std = jnp.asarray(cfg.dataset.std, jnp.float32)[None, :, None, None]
-    x = (img_u8.astype(jnp.float32) - mean) / std
-    canvas_out = img_u8.shape[-1]
+    canvas_out = img_u8.shape[1]
+    x = (img_u8.transpose(0, 3, 1, 2).astype(jnp.float32) - mean) / std
     mh = jax.vmap(lambda o, t: drm(o, t, canvas_in1, canvas_out))(
         sizes.oh, sizes.h1)
     mw = jax.vmap(lambda o, t: drm(o, t, canvas_in1, canvas_out))(
