@@ -194,3 +194,65 @@ def test_comer_sharded_step_matches_single_device():
                for k, _ in jax.tree_util.tree_leaves_with_path(params_1))
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-7)
+
+
+def test_restore_onto_mesh_resumes_exactly(tmp_path):
+    """Elastic restart across topologies: a checkpoint written by a
+    1-device run restores onto the 8-device data-parallel mesh and the
+    next sharded step reproduces the unsharded one (the reference's
+    torch.save/DDP world has no such path at all — SURVEY §5.3-5.4).
+    One step, not N: the pseudo-label chain argmaxes (CAM -> walk -> PAR),
+    so the dp-8 reduction-order noise (~1e-7) can flip a near-tie label
+    and fork the trajectory by step 2 — same reason the lockstep goldens
+    pin tolerances per step rather than at the end."""
+    from weclip_tpu.train import checkpoint
+    assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+    cfg = tiny.tiny_config()
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = _batch8(cfg, clip_params)
+    rng = jax.random.PRNGKey(7)
+
+    # 1-device: 2 steps, save, then 2 more (the oracle continuation)
+    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+    s = state
+    for _ in range(2):
+        s, _ = step_fn(s, frozen, batch, rng)
+    ckpt_dir = str(tmp_path / "ckpt")
+    checkpoint.save(ckpt_dir, int(s.step), s.params, s.opt_state)
+    oracle, _ = step_fn(s, frozen, batch, rng)
+    oracle_params = jax.tree_util.tree_map(np.asarray, oracle.params)
+
+    # restore onto the mesh (orbax returns plain numpy; replicate shards it)
+    tmpl, _ = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    params, opt_state, step0 = checkpoint.restore(
+        ckpt_dir, template={"params": tmpl.params,
+                            "opt_state": tmpl.opt_state,
+                            "step": np.asarray(0)})
+    assert step0 == 2
+    mesh = meshlib.make_mesh(data_parallel=8)
+    state_m = step_mod.TrainState(
+        meshlib.replicate(mesh, params),
+        meshlib.replicate(mesh, opt_state),
+        jnp.asarray(step0, jnp.int32))
+    frozen_m = meshlib.replicate(mesh, frozen)
+    arrays = {f: np.asarray(getattr(batch, f))
+              for f in ("img", "valid", "gh", "gw", "present_mask")}
+    dev = meshlib.shard_batch(mesh, arrays)
+    batch_m = weclip.Batch(
+        img=dev["img"],
+        pos_emb=meshlib.replicate(mesh, np.asarray(batch.pos_emb)),
+        valid=dev["valid"], gh=dev["gh"], gw=dev["gw"],
+        present_mask=dev["present_mask"])
+    step_m = step_mod.make_train_step(cfg, tx, policy=precision.FP32,
+                                      mesh=mesh)
+    sm, _ = step_m(state_m, frozen_m, batch_m, rng)
+    assert int(sm.step) == 3
+    resumed = jax.tree_util.tree_map(np.asarray, sm.params)
+    # atol 1e-6, not the fresh-state test's 1e-7: the restored Adam second
+    # moments are small-but-nonzero, so the dp-8 reduction-order noise is
+    # amplified by the 1/(sqrt(v)+eps) preconditioner (measured max
+    # violation 5.9e-7 on near-zero updates).
+    for a, b in zip(jax.tree_util.tree_leaves(oracle_params),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-6)
