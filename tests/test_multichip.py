@@ -256,3 +256,54 @@ def test_restore_onto_mesh_resumes_exactly(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(oracle_params),
                     jax.tree_util.tree_leaves(resumed)):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-6)
+
+
+def test_save_sharded_restore_single_device(tmp_path):
+    """The scale-down direction: a checkpoint written DURING an 8-device
+    data-parallel run (replicated params/opt-state are device-sharded
+    jax.Arrays, not host numpy) round-trips through orbax and the next
+    1-device step matches the sharded continuation."""
+    from weclip_tpu.train import checkpoint
+    assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+    cfg = tiny.tiny_config()
+    frozen, clip_params = tiny.tiny_frozen(cfg)
+    batch = _batch8(cfg, clip_params)
+    rng = jax.random.PRNGKey(7)
+    mesh = meshlib.make_mesh(data_parallel=8)
+
+    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    state_m = step_mod.TrainState(
+        meshlib.replicate(mesh, state.params),
+        meshlib.replicate(mesh, state.opt_state), state.step)
+    frozen_m = meshlib.replicate(mesh, frozen)
+    arrays = {f: np.asarray(getattr(batch, f))
+              for f in ("img", "valid", "gh", "gw", "present_mask")}
+    dev = meshlib.shard_batch(mesh, arrays)
+    batch_m = weclip.Batch(
+        img=dev["img"],
+        pos_emb=meshlib.replicate(mesh, np.asarray(batch.pos_emb)),
+        valid=dev["valid"], gh=dev["gh"], gw=dev["gw"],
+        present_mask=dev["present_mask"])
+    step_m = step_mod.make_train_step(cfg, tx, policy=precision.FP32,
+                                      mesh=mesh)
+    sm, _ = step_m(state_m, frozen_m, batch_m, rng)
+    ckpt_dir = str(tmp_path / "ckpt")
+    checkpoint.save(ckpt_dir, int(sm.step), sm.params, sm.opt_state)
+    oracle, _ = step_m(sm, frozen_m, batch_m, rng)
+    oracle_params = jax.tree_util.tree_map(np.asarray, oracle.params)
+
+    tmpl, _ = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    params, opt_state, step0 = checkpoint.restore(
+        ckpt_dir, template={"params": tmpl.params,
+                            "opt_state": tmpl.opt_state,
+                            "step": np.asarray(0)})
+    assert step0 == 1
+    s1 = step_mod.TrainState(params, opt_state,
+                             jnp.asarray(step0, jnp.int32))
+    step_fn = step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+    s1, _ = step_fn(s1, frozen, batch, rng)
+    assert int(s1.step) == 2
+    resumed = jax.tree_util.tree_map(np.asarray, s1.params)
+    for a, b in zip(jax.tree_util.tree_leaves(oracle_params),
+                    jax.tree_util.tree_leaves(resumed)):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=1e-6)
