@@ -40,6 +40,40 @@ import numpy as np
 A100_EST_IMGS_PER_SEC = 5.0          # measured derivation, BASELINE.md
 
 
+def wait_for_device(max_wait_s: float = 900, probe_timeout_s: float = 150,
+                    retry_sleep_s: float = 20) -> bool:
+    """Ride out transient TPU-tunnel outages before initializing jax.
+
+    The axon tunnel occasionally drops for stretches (observed: hours), and
+    during an outage ``jax.devices()`` HANGS rather than erroring; a failed
+    init also poisons the calling process (jax caches the dead backend).
+    So: probe in a SUBPROCESS with a timeout, retrying with backoff until
+    the device answers or the budget runs out, and only then let the real
+    in-process init proceed.  Returns True if a probe succeeded; on False
+    the caller continues anyway so the genuine error surfaces.
+    """
+    import subprocess
+    import sys
+    deadline = time.monotonic() + max_wait_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c",
+                                "import jax; jax.devices()"],
+                               timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        if first:
+            print("bench: device probe failed (tunnel outage?); retrying "
+                  f"for up to {max_wait_s:.0f}s", flush=True)
+            first = False
+        time.sleep(retry_sleep_s)
+
+
 def make_examples(cfg, rng, batch):
     """Synthetic VOC-like val examples (typical sizes, <= 500 per side)."""
     sizes = [(375, 500), (500, 375), (333, 500), (500, 500)]
@@ -206,6 +240,14 @@ def main():
                     help="override eval.batch_images (sweep tool)")
     args = ap.parse_args()
 
+    if not wait_for_device():
+        # outages have two observed modes: fast UNAVAILABLE errors and
+        # indefinite hangs inside backend init.  Exiting here keeps the
+        # failure crisp instead of hanging the caller in the second mode.
+        import sys
+        print("bench: no device answered within the retry budget; "
+              "aborting without initializing jax", file=sys.stderr)
+        sys.exit(2)
     from weclip_tpu.core.runtime import enable_compilation_cache
     enable_compilation_cache()
     from weclip_tpu.core import precision
