@@ -53,6 +53,23 @@ def test_pseudo_label_restricted_class_set(pipe):
     assert set(np.unique(out).tolist()) <= allowed
 
 
+def test_cam_heatmaps(pipe):
+    """cam() returns min-max-normalized refined heatmaps for the requested
+    class ids (the pytorch_grad_cam user surface, shared with
+    cli/generate_cams.py via cam/highres.py)."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (48, 56, 3), np.uint8)
+    out = pipe.cam(img, class_ids=[3, 7])
+    assert out.shape == (2, 48, 56)
+    assert out.dtype == np.float32
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+    full = pipe.cam(img)
+    assert full.shape == (pipe.cfg.dataset.num_classes - 1, 48, 56)
+    # the restricted call computes the same program with a smaller present
+    # mask; the requested classes' maps must be finite and non-degenerate
+    assert np.isfinite(out).all()
+
+
 def test_segment_grayscale_input_promoted(pipe):
     """2-D input is promoted to RGB like the datasets' robust_read_image
     (coco.py:20-25); RGBA drops the alpha channel."""

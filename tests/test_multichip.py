@@ -117,7 +117,7 @@ def test_mesh_utils_and_collective_helpers():
     from functools import partial
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from weclip_tpu.parallel import mesh as meshlib
 

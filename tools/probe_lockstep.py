@@ -2,7 +2,9 @@
 run N reference optimizer steps (dist_clip_voc.py:238-267) vs our
 make_train_step on identical tiny weights/batches, print per-step losses
 and final param deltas.  Run on CPU:
-    python -m tools.probe_lockstep
+    python -m tools.probe_lockstep                      # the committed 8-step
+    python -m tools.probe_lockstep --steps 30           # long-horizon drift
+    python -m tools.probe_lockstep --policy bfloat16    # production policy
 """
 import dataclasses
 import os
@@ -39,7 +41,7 @@ def ref_get_seg_loss(torch, F, pred, label, ignore_index=255):
     return (bg_loss + fg_loss) * 0.5
 
 
-def main(n_steps=8, gate_base=14998):
+def main(n_steps=8, gate_base=14998, policy_name="fp32"):
     from tests.test_composite_golden import (_install_reference, build_tiny_pair,
                                              present_from_label)
     _install_reference()
@@ -132,7 +134,9 @@ def main(n_steps=8, gate_base=14998):
         tx = make_optimizer(cfg.optimizer, cfg.train.max_iters)
         state = step_mod.TrainState(params, tx.init(params),
                                     jnp.zeros((), jnp.int32))
-        fn = step_mod.make_train_step(cfg, tx, policy=precision.FP32)
+        policy = (precision.FP32 if policy_name == "fp32"
+                  else precision.make_policy(policy_name))
+        fn = step_mod.make_train_step(cfg, tx, policy=policy)
         our_losses_l = []
         for it in range(n_steps):
             state, met = fn(state, frozen, batch, None,
@@ -161,4 +165,15 @@ def main(n_steps=8, gate_base=14998):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8,
+                    help="lockstep horizon (8 = the committed test; 30 = "
+                         "the long-horizon drift curve recorded in PARITY)")
+    ap.add_argument("--gate_base", type=int, default=14998)
+    ap.add_argument("--policy", default="fp32",
+                    help="our side's precision policy: fp32 (oracle-exact "
+                         "comparison) or bfloat16 (production policy vs the "
+                         "fp32 reference — measures combined drift)")
+    a = ap.parse_args()
+    main(n_steps=a.steps, gate_base=a.gate_base, policy_name=a.policy)

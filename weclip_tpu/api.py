@@ -42,6 +42,7 @@ class WeCLIPPipeline:
             from weclip_tpu.train import checkpoint
             self.params, _, _ = checkpoint.restore(model_path)
         self._evaluators: Dict = {}
+        self._cam_programs: Dict = {}
 
     def _evaluator(self, max_ori: int, with_cam: bool, msc: bool):
         from weclip_tpu.evalx.runner import Evaluator, make_prep
@@ -126,3 +127,31 @@ class WeCLIPPipeline:
             image_rgb, with_cam=True, msc=False, class_ids=class_ids)
         oh, ow = image_rgb.shape[:2]
         return np.asarray(cam_labels)[0, :oh, :ow]
+
+    def cam(self, image_rgb: np.ndarray,
+            class_ids: Optional[list] = None,
+            method: str = "grad_cam") -> np.ndarray:
+        """Refined per-class CAM heatmaps — the raw map surface a
+        ``pytorch_grad_cam.GradCAM(model, ...)`` user consumes (min-max
+        normalized, affinity-walk refined; clip_tool.py:106-216 semantics,
+        same program as ``cli/generate_cams.py``).
+
+        Returns ``(len(class_ids) or num_fg, H, W) float32`` in [0, 1],
+        ordered as ``class_ids`` (all foreground classes when None).
+        ``method`` selects the CAM engine (cam/variants.py surface).
+        """
+        ev = self._evaluator(max(image_rgb.shape[:2]), with_cam=True,
+                             msc=False)
+        key = (ev.prep.canvas_out, method)
+        if key not in self._cam_programs:
+            from weclip_tpu.cam.highres import make_cam_program
+            self._cam_programs[key] = make_cam_program(
+                self.cfg, ev.prep, self.policy, method=method)
+        ex = self._example(image_rgb, class_ids)
+        sb1, _, sizes, _, presents, _, _ = ev.build_batch([ex])
+        highres = np.asarray(
+            self._cam_programs[key](self.frozen, sb1, presents, sizes))
+        oh, ow = image_rgb.shape[:2]
+        ids = (list(range(self.cfg.dataset.num_classes - 1))
+               if class_ids is None else [int(c) for c in class_ids])
+        return highres[0, ids, :oh, :ow].astype(np.float32)

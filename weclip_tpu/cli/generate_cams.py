@@ -42,15 +42,11 @@ def main():
     args = p.parse_args()
     common.setup_logger()
 
-    import jax
-    import jax.numpy as jnp
     from weclip_tpu.core import precision
     from weclip_tpu.core.config import Config, load_config
-    from weclip_tpu.cam.gradcam import _minmax_valid, gradcam_batch
+    from weclip_tpu.cam.highres import make_cam_program
     from weclip_tpu.evalx.runner import Evaluator, make_prep
-    from weclip_tpu.refine import affinity as aff
     from weclip_tpu.train.trainer import build_frozen
-    from weclip_tpu.models import weclip as weclip_mod
 
     cfg = load_config(args.config) if args.config else Config()
     frozen, clip_params, cfg = build_frozen(cfg)
@@ -70,71 +66,8 @@ def main():
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=False,
                    mesh=mesh)
-    num_fg = cfg.dataset.num_classes - 1
-
-    from weclip_tpu.evalx.engine import _dev_ops_cam, prepare_scale1_images
-
-    @jax.jit
-    def cams_for_batch(fz, sb, presents, sizes):
-        # ``fz`` (the frozen CLIP tree) MUST be an argument, not a closure
-        # capture — closure-captured arrays become HLO constants and the
-        # ~340MB program overflows remote-compile request limits.
-        g = prep.canvas_in1 // cfg.clip.patch_size
-        # shipped uint8 originals -> normalized resize-long canvases
-        imgs1 = prepare_scale1_images(sb.img, sizes, cfg, prep.canvas_in1)
-        batch = weclip_mod.Batch(imgs1, sb.pos_emb, sb.valid, sb.gh, sb.gw,
-                                 presents)
-        vit_mod = __import__("weclip_tpu.models.clip.vit", fromlist=["vit"])
-        feats = vit_mod.vision_forward_frozen(
-            fz["visual"], batch.img, batch.pos_emb, batch.valid, cfg.clip,
-            policy=policy)
-        # slice the stream-padded features (vit.VisionFeatures) back to the
-        # grid length: the CAM engines accept stream-padded inputs via
-        # num_patches= (cam/variants.py, cam/gradcam.py), but the walk
-        # consumers below (fuse_attention_plain, sinkhorn) want the
-        # unpadded attention stack anyway, so one up-front slice is
-        # simplest (offline generator — the copy is not on the headline
-        # path)
-        l0 = sb.valid.shape[1]
-        feats = vit_mod.VisionFeatures(feats.layer_tokens[:, :, :l0],
-                                       feats.layer_attn[:, :, :l0, :l0],
-                                       feats.valid[:, :l0])
-        text = jnp.concatenate([fz["fg_text"], fz["bg_text"]], 0)
-        tmask = jnp.concatenate(
-            [presents.astype(bool),
-             jnp.ones((sb.img.shape[0], fz["bg_text"].shape[0]), bool)], 1)
-        cam_out = gradcam_batch(fz["visual"], fz["logit_scale"],
-                                feats.layer_tokens[-1], text, tmask,
-                                sb.valid, num_fg, cfg.clip, policy)
-        if args.cam_method == "grad_cam":
-            cams = cam_out.cams
-        else:
-            from weclip_tpu.cam import variants
-            ci = jnp.arange(num_fg, dtype=jnp.int32)
-            cams = jax.vmap(lambda x, tm, v: variants.cam_single(
-                args.cam_method, fz["visual"], fz["logit_scale"],
-                x, text, tm, v, ci, cfg.clip, policy))(
-                    feats.layer_tokens[-1], tmask, sb.valid)
-        fused = aff.fuse_attention_plain(feats.layer_attn, cam_out.attn_last,
-                                         cfg.cam.attn_fuse_layers)
-
-        def walk_one(cams_i, fused_i, valid_i, gh_i, gw_i):
-            trans = aff.sinkhorn_transition(fused_i, valid_i,
-                                            cfg.cam.sinkhorn_iters)
-            return aff.random_walk_cams(cams_i, trans, valid_i.reshape(g, g),
-                                        gh_i, gw_i, cfg.cam.bbox_threshold)
-
-        refined = jax.vmap(walk_one)(cams, fused, sb.valid[:, 1:],
-                                     sb.gh, sb.gw)
-        normed = jax.vmap(jax.vmap(
-            lambda c, v: _minmax_valid(c, v.astype(bool)),
-            in_axes=(0, None)))(refined, sb.valid[:, 1:])
-        # grid -> original resolution
-        mh_cam, mw_cam = _dev_ops_cam(sizes, prep.canvas_out, prep.grid1,
-                                      cfg.clip.patch_size)
-        grid = normed.reshape(normed.shape[0], num_fg, g, g)
-        y = jnp.einsum("bog,bcgh->bcoh", mh_cam, grid)
-        return jnp.einsum("bph,bcoh->bcop", mw_cam, y)
+    cams_for_batch = make_cam_program(cfg, prep, policy,
+                                      method=args.cam_method)
 
     os.makedirs(args.out, exist_ok=True)
     bsz = cfg.eval.batch_images
