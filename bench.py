@@ -47,10 +47,11 @@ def wait_for_device(max_wait_s: float = 900, probe_timeout_s: float = 150,
     The axon tunnel occasionally drops for stretches (observed: hours), and
     during an outage ``jax.devices()`` HANGS rather than erroring; a failed
     init also poisons the calling process (jax caches the dead backend).
-    So: probe in a SUBPROCESS with a timeout, retrying with backoff until
-    the device answers or the budget runs out, and only then let the real
-    in-process init proceed.  Returns True if a probe succeeded; on False
-    the caller continues anyway so the genuine error surfaces.
+    So: probe in a SUBPROCESS with a timeout, retrying at a fixed interval
+    until the device answers or the budget runs out, and only then let the
+    real in-process init proceed.  Returns True if a probe succeeded; on
+    False callers should abort (main exits 2) — continuing would hang
+    inside the in-process backend init rather than surface an error.
     """
     import subprocess
     import sys

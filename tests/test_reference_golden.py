@@ -316,6 +316,38 @@ def test_poly_warmup_schedule_matches_reference(ref):
                                    err_msg=f"step {step}")
 
 
+def test_poly_schedules_freeze_past_max_iter(ref):
+    """Past max_iter both reference optimizers stop ADJUSTING lr (their
+    step() has no else-branch, utils/optimizer.py:17-28,51-62), so a run
+    driven beyond max_iter keeps stepping at the t = T-1 lr — never 0.
+    Run the reference classes SEQUENTIALLY across the boundary and assert
+    our pure schedules freeze at the same value."""
+    torch = ref
+    from utils.optimizer import PolyWarmupAdamW, PolyWarmupSGD
+    from weclip_tpu.core.config import OptimizerConfig
+    from weclip_tpu.train.optimizer import (poly_warmup_schedule,
+                                            sgd_poly_warmup_schedule)
+
+    cfg = OptimizerConfig()
+    T = 60
+    for cls, sched in (
+            (PolyWarmupAdamW, poly_warmup_schedule(cfg, T, 2e-4)),
+            (PolyWarmupSGD, sgd_poly_warmup_schedule(cfg, T, 2e-4))):
+        p = torch.nn.Parameter(torch.zeros(2))
+        opt = cls([{"params": [p], "lr": 2e-4, "weight_decay": 0.01}],
+                  lr=2e-4, weight_decay=0.01, betas=(0.9, 0.999),
+                  warmup_iter=cfg.warmup_iter, max_iter=T,
+                  warmup_ratio=cfg.warmup_ratio, power=cfg.power)
+        for step in range(T + 15):
+            p.grad = torch.zeros(2)
+            opt.step()
+            ours = float(sched(jnp.asarray(step)))
+            np.testing.assert_allclose(
+                ours, opt.param_groups[0]["lr"], rtol=1e-4, atol=1e-10,
+                err_msg=f"{cls.__name__} step {step}")
+        assert float(sched(jnp.asarray(T + 14))) > 0.0
+
+
 def test_evaluate_scores_match_reference(rng, ref):
     from utils.evaluate import scores as ref_scores
     from weclip_tpu.evalx import metrics

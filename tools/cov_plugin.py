@@ -29,7 +29,10 @@ def _on_line(code, lineno):
         if s is None:
             s = _hits[fn] = set()
         s.add(lineno)
-    return sys.monitoring.DISABLE if not fn.startswith(_pkg) else None
+    # each (code, line) only needs recording once — DISABLE stops further
+    # events for this exact line (hot package lines fire millions of times
+    # under the suite otherwise; output is identical)
+    return sys.monitoring.DISABLE
 
 
 def pytest_configure(config):

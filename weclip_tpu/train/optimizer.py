@@ -20,7 +20,12 @@ def poly_warmup_schedule(cfg: OptimizerConfig, max_iters: int, base_lr: float):
     def schedule(step):
         t = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
         warm = 1.0 - (1.0 - t / cfg.warmup_iter) * (1.0 - cfg.warmup_ratio)
-        poly = jnp.power(jnp.maximum(1.0 - t / max_iters, 0.0), cfg.power)
+        # the reference stops ADJUSTING lr once global_step >= max_iter
+        # (utils/optimizer.py:17-28 has no else-branch), so a run driven
+        # past max_iter keeps stepping at the LAST set lr — the t = T-1
+        # value — never 0.  Clamp t to reproduce that for step >= T.
+        tp = jnp.minimum(t, float(max_iters - 1))
+        poly = jnp.power(jnp.maximum(1.0 - tp / max_iters, 0.0), cfg.power)
         mult = jnp.where(t < cfg.warmup_iter, warm, poly)
         return base_lr * mult
     return schedule
@@ -49,8 +54,12 @@ def sgd_poly_warmup_schedule(cfg: OptimizerConfig, max_iters: int,
         t = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
         w = float(cfg.warmup_iter)
         warm = jnp.power(jnp.maximum(1.0 - t / w, 0.0), cfg.power) * 10.0
+        # like PolyWarmupAdamW, the reference stops adjusting at
+        # global_step >= max_iter (utils/optimizer.py:51-62): past-end
+        # steps keep the t = T-1 lr, so clamp before the poly term
+        tp = jnp.minimum(t, float(max_iters - 1))
         poly = jnp.power(
-            jnp.maximum(1.0 - (t - w) / (max_iters - w), 0.0), cfg.power)
+            jnp.maximum(1.0 - (tp - w) / (max_iters - w), 0.0), cfg.power)
         return base_lr * jnp.where(t < w, warm, poly)
     return schedule
 
