@@ -113,3 +113,33 @@ def test_vision_forward_no_attn_export():
                                rtol=1e-6, atol=1e-6)
     ls = lean.layer_tokens.shape[2]          # stream-padded length
     assert lean.layer_attn.shape == (0, b, ls, ls)
+
+
+def test_padded_pos_emb_device_matches_host_mirror():
+    """build_pos_emb(pad_gh, pad_gw) (device builder for variable-size
+    batches) and pos_emb_host (the evaluator's numpy mirror,
+    evalx/runner.py:74) must agree exactly: same bilinear upsample
+    (clip/model.py:11-27), same zero pad layout, CLS first."""
+    rng = np.random.default_rng(9)
+    cfg = tiny.tiny_config()
+    params = vit.init_vision_params(jax.random.PRNGKey(11), cfg.clip)
+    for gh, gw, pg, pw in [(3, 5, 6, 6), (4, 4, 4, 4), (2, 6, 8, 8)]:
+        dev = np.asarray(vit.build_pos_emb(params, gh, gw, pg, pw))
+        host = vit.pos_emb_host(np.asarray(params["positional_embedding"]),
+                                gh, gw, pg, pw)
+        assert dev.shape == (1 + pg * pw, params["positional_embedding"].shape[-1])
+        np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"({gh},{gw})->({pg},{pw})")
+
+
+def test_grid_valid_mask_matches_numpy():
+    """grid_valid_mask builds the (1+G*G,) CLS-first validity mask from
+    traced gh/gw on device; pin it against a direct numpy construction
+    (the mask the eval runner builds on host)."""
+    for gh, gw, pg, pw in [(3, 5, 6, 7), (4, 4, 4, 4), (1, 2, 5, 3)]:
+        got = np.asarray(vit.grid_valid_mask(jnp.asarray(gh), jnp.asarray(gw),
+                                             pg, pw))
+        grid = np.zeros((pg, pw), bool)
+        grid[:gh, :gw] = True
+        want = np.concatenate([[True], grid.reshape(-1)])
+        np.testing.assert_array_equal(got, want, err_msg=f"{gh},{gw},{pg},{pw}")

@@ -220,10 +220,6 @@ class VisionFeatures(NamedTuple):
     valid: jax.Array             # (B, Ls) bool — stream-padded validity
 
 
-def _stack_block(p: Params, i) -> Params:
-    return jax.tree_util.tree_map(lambda a: a[i], p)
-
-
 def vision_forward_frozen(
     params: Params,
     img: jax.Array,
