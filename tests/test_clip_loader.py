@@ -12,14 +12,17 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference checkout not present")
 
 
-def _tiny_reference_sd():
+def _tiny_reference_sd(context_length=16, vocab_size=64,
+                       transformer_width=32, transformer_heads=2):
     _install_reference()
     import torch
     from clip.model import CLIP
     torch.manual_seed(0)
     model = CLIP(embed_dim=32, image_resolution=224, vision_layers=3,
-                 vision_width=64, vision_patch_size=16, context_length=16,
-                 vocab_size=64, transformer_width=32, transformer_heads=2,
+                 vision_width=64, vision_patch_size=16,
+                 context_length=context_length, vocab_size=vocab_size,
+                 transformer_width=transformer_width,
+                 transformer_heads=transformer_heads,
                  transformer_layers=2).float().eval()
     return model.state_dict()
 
@@ -63,3 +66,47 @@ def test_load_clip_missing_file_raises(tmp_path):
     from weclip_tpu.models.clip.loader import load_clip
     with pytest.raises(FileNotFoundError, match="not found"):
         load_clip(str(tmp_path / "nope.pt"))
+
+
+def test_build_frozen_real_checkpoint_branch(tmp_path, monkeypatch):
+    """trainer.build_frozen's checkpoint branch end-to-end: .pt file ->
+    shape-inferred config -> real BPE tokenizer -> prompt tables -> text
+    encoder -> normalized fg/bg feature tables (the init-time
+    zeroshot_classifier, model_attn_aff_voc.py:34-46,81-82).  Needs the
+    OpenAI vocab (real token ids), so the tiny checkpoint is built at the
+    real context_length/vocab_size."""
+    import dataclasses
+
+    import torch
+
+    from tests.test_tokenizer import REF_VOCAB
+    from weclip_tpu.core.config import Config
+    from weclip_tpu.train.trainer import build_frozen
+
+    if not os.path.exists(REF_VOCAB):
+        pytest.skip("OpenAI BPE vocab not present")
+    # transformer_width 64 with 1 head: loaders (ours and the reference's
+    # build_model, clip/model.py:506) infer heads = width // 64, so a
+    # narrower text tower is unloadable for BOTH
+    sd = _tiny_reference_sd(context_length=77, vocab_size=49408,
+                            transformer_width=64, transformer_heads=1)
+    pt = tmp_path / "tiny_vitb.pt"
+    torch.save(sd, str(pt))
+    monkeypatch.setenv("WECLIP_BPE_PATH", REF_VOCAB)
+
+    cfg = Config()      # VOC: 20 fg classes, 25 bg concepts
+    cfg = dataclasses.replace(
+        cfg, clip=dataclasses.replace(cfg.clip, pretrained_path=str(pt)))
+    frozen, clip_params, out_cfg = build_frozen(cfg)
+
+    # config was inferred from the state dict, not taken from defaults
+    assert out_cfg.clip.vision_width == 64
+    assert out_cfg.clip.transformer_layers == 2
+    assert out_cfg.clip.embed_dim == 32
+    fg = np.asarray(frozen["fg_text"])
+    bg = np.asarray(frozen["bg_text"])
+    assert fg.shape == (20, 32) and bg.shape == (25, 32)
+    # zeroshot_classifier L2-normalizes each class embedding
+    np.testing.assert_allclose(np.linalg.norm(fg, axis=-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(bg, axis=-1), 1.0, rtol=1e-4)
+    assert np.isfinite(float(frozen["logit_scale"]))
