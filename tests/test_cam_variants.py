@@ -83,6 +83,12 @@ def test_targets_api():
     assert float(seg(out)) == expect
     seed = np.asarray(seg.seed_fn((3, 4, 4)))
     assert seed[2].sum() == 4.0 and seed[[0, 1]].sum() == 0.0
+    # batched (B, C) logits take the per-row column like the upstream
+    # targets (model_targets.py ClassifierOutputTarget on batched output)
+    blogits = jnp.asarray([[1.0, 3.0, 2.0], [5.0, 0.0, 4.0]])
+    np.testing.assert_array_equal(np.asarray(t(blogits)), [3.0, 0.0])
+    bs = np.asarray(ts(blogits))
+    assert bs.shape == (2,) and (0.0 < bs).all() and (bs < 1.0).all()
 
 
 @pytest.mark.parametrize("method", ["grad_cam", "grad_cam_pp", "layer_cam",

@@ -97,3 +97,34 @@ def test_resume_picks_latest_checkpointed_run_dir(tmp_path):
     args.resume = False
     out2 = apply_train_args(cfg, args)
     assert not out2.work_dir.ckpt_dir.endswith("2026-01-02-00-00")
+
+
+def test_apply_train_args_override_wiring(tmp_path):
+    """Every train CLI override must land in its config field (a typo in
+    one dataclasses.replace would silently ignore the user's flag);
+    --radius 0 must be honored (identity check, not truthiness —
+    common.py documents the quirk)."""
+    import types
+    from weclip_tpu.cli.common import apply_train_args
+    from weclip_tpu.core.config import Config
+
+    cache = str(tmp_path / "cache")
+    args = types.SimpleNamespace(crop_size=256, radius=0, max_iters=123,
+                                 work_dir=str(tmp_path / "w"),
+                                 precision="float32", resume=False,
+                                 decoded_cache=cache)
+    out = apply_train_args(Config(), args)
+    assert out.dataset.crop_size == 256
+    assert out.dataset.decoded_cache_dir == cache
+    assert out.train.radius == 0
+    assert out.train.max_iters == 123
+    assert out.precision.compute_dtype == "float32"
+    assert out.work_dir.dir == str(tmp_path / "w")
+    # None/empty flags leave the config untouched
+    args2 = types.SimpleNamespace(crop_size=None, radius=None, max_iters=None,
+                                  work_dir=None, precision=None, resume=False)
+    base = Config()
+    out2 = apply_train_args(base, args2)
+    assert out2.dataset.crop_size == base.dataset.crop_size
+    assert out2.train.radius == base.train.radius
+    assert out2.precision.compute_dtype == base.precision.compute_dtype

@@ -67,3 +67,20 @@ def test_coco_datasets(tmp_path):
     assert exv["img_raw"].shape[-1] == 3
     assert exv["label"].shape == exv["img_raw"].shape[:2]
     assert exv["img_raw"].dtype == np.uint8
+
+
+def test_coco_label_free_split_all_ignore(tmp_path):
+    """A name with no label PNG (e.g. a test split) yields an all-255
+    ignore label of the image's extent (coco.py read_label fallback,
+    mirroring voc.py's label-free behavior)."""
+    root = str(tmp_path)
+    make_fake_coco(root)
+    # remove one val label so read_label takes the label-free branch
+    os.remove(f"{root}/SegmentationClass/val/000000000000.png")
+    cfg = DatasetConfig(name="coco", root_dir=root,
+                        name_list_dir=f"{root}/lists", num_classes=81,
+                        crop_size=64)
+    ds = CocoSegDataset(cfg, split="val")
+    ex = ds[0]
+    assert (ex["label"] == 255).all()
+    assert ex["label"].shape == ex["img_raw"].shape[:2]
