@@ -110,3 +110,42 @@ def test_build_frozen_real_checkpoint_branch(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.linalg.norm(fg, axis=-1), 1.0, rtol=1e-4)
     np.testing.assert_allclose(np.linalg.norm(bg, axis=-1), 1.0, rtol=1e-4)
     assert np.isfinite(float(frozen["logit_scale"]))
+
+
+def test_load_clip_from_torchscript_archive(tmp_path):
+    """The actual OpenAI ViT-B-16.pt is a TorchScript JIT archive
+    (clip/clip.py:120-127 tries torch.jit.load first); pin that branch:
+    a traced archive of the tiny reference CLIP must load to the same
+    params as its raw state dict."""
+    import torch
+
+    from weclip_tpu.core.config import ClipConfig
+    from weclip_tpu.models.clip.loader import (infer_config, load_clip,
+                                               params_from_state_dict)
+
+    _install_reference()
+    from clip.model import CLIP
+    torch.manual_seed(0)
+    m = CLIP(embed_dim=32, image_resolution=224, vision_layers=3,
+             vision_width=64, vision_patch_size=16, context_length=16,
+             vocab_size=64, transformer_width=64, transformer_heads=1,
+             transformer_layers=2).float().eval()
+    toks = torch.randint(0, 64, (2, 16))
+    toks[:, -1] = 63
+    with torch.no_grad():
+        traced = torch.jit.trace_module(m, {"encode_text": (toks,)},
+                                        strict=False)
+    pt = str(tmp_path / "tiny_ts.pt")
+    torch.jit.save(traced, pt)
+
+    params, cfg = load_clip(pt, ClipConfig())
+    assert cfg.vision_width == 64 and cfg.transformer_layers == 2
+
+    np_sd = {k: np.asarray(v.detach().numpy(), np.float32)
+             for k, v in m.state_dict().items()}
+    direct = params_from_state_dict(np_sd, infer_config(np_sd, ClipConfig()))
+    got, _ = _flatten(params)
+    want, _ = _flatten(direct)
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)

@@ -163,13 +163,3 @@ class PhotoMetricDistortion:
         return img
 
 
-def resize_long_side(image: np.ndarray, long_side: int) -> np.ndarray:
-    """Eval-time resize of the long side on the *float* image
-    (test_msc_flip_voc.py:60-63 interpolates the normalized tensor with
-    align_corners=False; cv2 INTER_LINEAR on float32 matches exactly)."""
-    import cv2
-    h, w = image.shape[:2]
-    ratio = long_side / max(h, w)
-    nh, nw = int(h * ratio), int(w * ratio)
-    return cv2.resize(image.astype(np.float32), (nw, nh),
-                      interpolation=cv2.INTER_LINEAR)
