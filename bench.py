@@ -84,7 +84,7 @@ def make_examples(cfg, rng, batch):
         oh, ow = sizes[i % len(sizes)]
         present = np.zeros(nfg, bool)
         present[rng.integers(0, nfg)] = True
-        present[nfg - 1] = True                       # bg quirk class
+        present[nfg - 1] = True            # 2nd class: typical VOC class count
         examples.append({
             "img_raw": rng.integers(0, 256, (oh, ow, 3)).astype(np.uint8),
             "label": rng.integers(0, 21, (oh, ow)).astype(np.int32),

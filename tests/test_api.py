@@ -48,8 +48,8 @@ def test_pseudo_label_restricted_class_set(pipe):
     out = pipe.pseudo_label(img, class_ids=[3, 7])
     assert out.shape == (48, 48)
     # pseudo labels may only use background (0), the requested classes
-    # (1-indexed in label space), and the bg->last-class quirk key
-    allowed = {0, 4, 8, pipe.cfg.dataset.num_classes - 1, 255}
+    # (1-indexed in label space), and ignore
+    allowed = {0, 4, 8, 255}
     assert set(np.unique(out).tolist()) <= allowed
 
 

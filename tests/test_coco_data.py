@@ -60,7 +60,9 @@ def test_coco_datasets(tmp_path):
     assert ex["img"].shape == (3, 64, 64)
     assert ex["present_mask"].shape == (80,)
     assert ex["present_mask"][7]            # class id 8 -> fg index 7 (ids-1)
-    assert ex["present_mask"][79]           # bg quirk -> last class
+    # background drops out (uint8 0-1 -> 255, removed; clip_tool.py:229-233)
+    assert not ex["present_mask"][79]
+    assert ex["present_mask"].sum() == 1
 
     dsv = CocoSegDataset(cfg, split="val")
     exv = dsv[0]

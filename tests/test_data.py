@@ -6,21 +6,46 @@ from weclip_tpu.data import transforms
 from weclip_tpu.data.voc import class_set_from_label
 
 
-def test_class_set_quirk():
-    """unique(label)-1 keeps -1 for background, wrapping to the LAST fg
-    class; 255 (ignore) maps to 254 and is dropped (clip_tool.py:111-124)."""
-    label = np.zeros((8, 8), np.uint8)
-    label[0, 0] = 3          # class id 3 -> fg index 2
-    label[1, 1] = 255        # ignore
-    mask = class_set_from_label(label, num_fg=20)
-    assert mask[2]                       # class 3 present
-    assert mask[19]                      # bg wrap-around quirk
-    assert mask.sum() == 2
+def _reference_class_ids(label: np.ndarray) -> list:
+    """The reference's EXACT derivation (clip_tool.py:113-118), executed:
+    np.unique of the uint8 PNG minus 1 runs in uint8 — background 0 wraps
+    to 255 and ignore 255 to 254, and both are then removed.  (An earlier
+    reading as signed -1 'background wraps to the last fg class' was wrong
+    and is pinned against these lines here.)"""
+    label_id_list = np.unique(np.asarray(label, np.uint8))
+    label_id_list = (label_id_list - 1).tolist()
+    if 255 in label_id_list:
+        label_id_list.remove(255)
+    if 254 in label_id_list:
+        label_id_list.remove(254)
+    return [int(lid) for lid in label_id_list]
 
-    # no background pixels: no quirk class
-    label = np.full((4, 4), 5, np.uint8)
-    mask = class_set_from_label(label, num_fg=20)
-    assert mask[4] and mask.sum() == 1
+
+def test_class_set_matches_reference_lines():
+    """class_set_from_label vs the reference's executed uint8 derivation,
+    across edge labels: background present, ignore present, no background,
+    all-background, and a full 1..20 sweep."""
+    rng = np.random.default_rng(3)
+    cases = []
+    lab = np.zeros((8, 8), np.uint8)
+    lab[0, 0] = 3
+    lab[1, 1] = 255
+    cases.append(lab)                               # bg + fg + ignore
+    cases.append(np.full((4, 4), 5, np.uint8))      # fg only, no bg
+    cases.append(np.zeros((4, 4), np.uint8))        # all background
+    cases.append(np.full((4, 4), 255, np.uint8))    # all ignore
+    full = np.arange(21, dtype=np.uint8).reshape(3, 7)
+    cases.append(full)                              # every id incl. 0
+    for _ in range(8):                              # random id mixtures
+        cases.append(rng.choice(
+            np.asarray([0, 1, 4, 7, 13, 20, 255], np.uint8), (6, 6)))
+    for lab in cases:
+        mask = class_set_from_label(lab, num_fg=20)
+        want = np.zeros(20, bool)
+        for i in _reference_class_ids(lab):
+            want[i] = True
+        np.testing.assert_array_equal(mask, want,
+                                      err_msg=str(np.unique(lab)))
 
 
 def test_normalize_img_imagenet_stats():

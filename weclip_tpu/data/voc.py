@@ -7,10 +7,9 @@ image-level one-hot labels from ``cls_labels_onehot.npy``.
 One deliberate redesign (SURVEY §7 build plan, data/): the reference re-reads
 each label PNG *inside the model forward* on every step to derive the
 image-level class set (clip_tool.py:111-124).  Here the dataset computes the
-class set once per example and ships it as a ``present_mask`` tensor,
-including the reference's background->last-class wrap-around quirk
-(``unique(label) - 1`` keeps -1 for background, which indexes the last
-foreground class; see weclip_tpu/models/weclip.py docstring).
+class set once per example and ships it as a ``present_mask`` tensor with
+the reference's exact uint8 semantics (background and ignore both drop out;
+see ``class_set_from_label``).
 """
 
 from __future__ import annotations
@@ -37,14 +36,21 @@ def load_cls_labels(name_list_dir: str) -> Dict[str, np.ndarray]:
 
 
 def class_set_from_label(label: np.ndarray, num_fg: int) -> np.ndarray:
-    """Image-level class set with the reference's quirk
-    (clip_tool.py:111-124): ids = unique(label) - 1, drop {254, 255}, keep
-    -1 (background), which wraps to the last foreground class."""
-    ids = np.unique(label).astype(np.int64) - 1
-    ids = ids[(ids != 254) & (ids != 255)]
+    """Image-level class set, reference-exact (clip_tool.py:106-124).
+
+    The reference computes ``np.unique(PIL_image) - 1`` in **uint8**, so
+    background 0 wraps to 255 and ignore 255 to 254 — both are then
+    removed.  Background therefore NEVER joins the class set (executed and
+    pinned against those exact lines in tests/test_data.py; the composite
+    goldens' value-vocabulary assertion confirms the reference's pseudo
+    labels carry no background-derived class either).  An earlier reading
+    of the same lines as signed ``-1`` (wrapping background to the LAST fg
+    class) was wrong and added a spurious class to nearly every image."""
+    ids = np.unique(np.asarray(label).astype(np.uint8)) - np.uint8(1)
+    ids = ids[(ids != 254) & (ids != 255)].astype(np.int64)
     mask = np.zeros(num_fg, bool)
     for i in ids:
-        mask[int(i)] = True          # i == -1 wraps to num_fg - 1
+        mask[int(i)] = True
     return mask
 
 

@@ -7,14 +7,13 @@ per-image / per-class Python loops with GPU->CPU->GPU round-trips
 become batch axes: every stage below runs on device, vmapped over images and
 classes, inside a single XLA program.
 
-Class-set quirk (reproduced deliberately): the reference derives each
-image's class set from the unique ids of its label PNG via
-``unique(label) - 1`` and only removes {254, 255} *after* the shift
-(clip_tool.py:111-118).  Background pixels (id 0) therefore map to class
-index -1, i.e. the *last* foreground class ('tvmonitor screen' /
-'toothbrush'), which consequently joins the CAM text set and pseudo-label
-keys of nearly every image.  Parity requires keeping this behavior; the data
-pipeline encodes it in ``present_mask`` (weclip_tpu/data/voc.py).
+Class-set derivation (reference-exact): the reference derives each image's
+class set from the unique ids of its label PNG via ``unique(label) - 1`` in
+**uint8**, then removes {254, 255} (clip_tool.py:111-118) — so background
+(0 -> 255) and ignore (255 -> 254) are both dropped and only true foreground
+ids remain.  The data pipeline computes this once per example and ships it
+as ``present_mask`` (weclip_tpu/data/voc.py::class_set_from_label, executed
+against the reference's exact lines in tests/test_data.py).
 """
 
 from __future__ import annotations
