@@ -129,12 +129,14 @@ def default_labels():
 
 
 def present_from_label(lab, num_fg=NUM_FG):
-    """present_mask exactly as the reference derives it from the PNG."""
-    ids = (np.unique(lab).astype(np.int64) - 1) % 256
-    ids = [i for i in ids if i not in (254, 255)]
-    present = np.zeros(num_fg, bool)
-    present[ids] = True
-    return present
+    """present_mask via the PRODUCTION derivation — the reference reads the
+    PNG itself inside its forward, so routing our side through
+    data/voc.py::class_set_from_label puts the production class-set code
+    inside every composite/lockstep oracle loop.  (A private reimplementation
+    here previously masked a real production bug: the signed-vs-uint8
+    unique(label)-1 misreading, fixed round 3.)"""
+    from weclip_tpu.data.voc import class_set_from_label
+    return class_set_from_label(lab, num_fg)
 
 
 def build_tiny_pair(torch, tmp_path, iter_num=0, labels=None,
