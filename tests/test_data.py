@@ -180,3 +180,108 @@ def test_photometric_distortion_matches_reference(monkeypatch):
         np.testing.assert_array_equal(ours, ref_out)
         hit[int(np.array_equal(ours, img))] += 1
     assert hit[0] > 0        # at least one seed actually distorted
+
+
+def _load_ref_transforms():
+    import importlib.util
+    import sys
+    import types
+
+    import cv2
+
+    from tests.test_reference_golden import REF, _install_reference
+    _install_reference()
+    # the module imports mmcv at top level; attach the two color helpers to
+    # whatever mmcv module exists (cv2 is mmcv's own colorspace backend)
+    m = sys.modules.get("mmcv") or types.ModuleType("mmcv")
+    if not hasattr(m, "bgr2hsv"):
+        m.bgr2hsv = lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV)
+        m.hsv2bgr = lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR)
+    sys.modules.setdefault("mmcv", m)
+    spec = importlib.util.spec_from_file_location(
+        "_ref_transforms2", REF + "/datasets/transforms.py")
+    ref_t = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_t)
+    return ref_t
+
+
+def test_rescale_matches_reference_img_rescaling():
+    """rescale vs the reference's executed _img_rescaling
+    (transforms.py:35-51): PIL BILINEAR on the uint8 cast, (int(s*w),
+    int(s*h)) size order, NEAREST labels — byte-identical values (the
+    reference emits float32; ours keeps uint8 until normalize)."""
+    ref_t = _load_ref_transforms()
+    r = np.random.default_rng(1)
+    img = r.integers(0, 256, (37, 53, 3), np.uint8)
+    lab = r.integers(0, 21, (37, 53)).astype(np.uint8)
+    for scale in (0.5, 0.8137, 1.0, 1.31, 2.0):
+        ref_img, ref_lab = ref_t._img_rescaling(
+            img.astype(np.float32), lab, scale=scale)
+        ours_img, ours_lab = transforms.rescale(img, scale, lab)
+        assert ours_img.dtype == np.uint8
+        np.testing.assert_array_equal(ours_img.astype(np.float32), ref_img,
+                                      err_msg=f"scale {scale}")
+        np.testing.assert_array_equal(ours_lab, ref_lab)
+
+
+def test_random_crop_matches_reference_given_same_draws():
+    """random_crop vs the reference's executed random_crop
+    (transforms.py:119-176) with the RNG draws scripted to identical
+    values on both sides: crop contents, label crop, and the img_box
+    valid-region math must agree exactly (incl. the pad-larger-than-image
+    case where the box is a strict sub-rectangle)."""
+    import random as _random
+
+    ref_t = _load_ref_transforms()
+    r = np.random.default_rng(2)
+
+    class ScriptedRng:
+        """Yields predetermined randrange values in our call order:
+        h_pad, w_pad, then (h0, w0) per crop try."""
+        def __init__(self, vals):
+            self.vals = list(vals)
+        def randrange(self, lo, hi, step=1):
+            v = self.vals.pop(0)
+            assert lo <= v < hi, (lo, v, hi)
+            return v
+
+    for h, w, crop in ((40, 56, 32), (24, 28, 48)):   # crop < and > image
+        img = r.integers(0, 256, (h, w, 3), np.uint8)
+        lab = r.integers(0, 3, (h, w)).astype(np.uint8)  # mixed ids: the
+        # cat_max_ratio check passes on the first try for these densities
+        big_h, big_w = max(crop, h), max(crop, w)
+        h_pad = int(r.integers(0, big_h - h + 1))
+        w_pad = int(r.integers(0, big_w - w + 1))
+        h0 = int(r.integers(0, big_h - crop + 1))
+        w0 = int(r.integers(0, big_w - crop + 1))
+
+        # reference side: np.random.randint supplies pads, random.randrange
+        # the crop box (transforms.py:132-133, 141-143)
+        pad_draws = [h_pad, w_pad]
+        box_draws = [h0, w0] * 10
+        orig_randint = np.random.randint
+        orig_randrange = _random.randrange
+        np.random.randint = lambda *a, **k: pad_draws.pop(0)
+        _random.randrange = lambda *a, **k: box_draws.pop(0)
+        try:
+            ref_img, ref_lab, ref_box = ref_t.random_crop(
+                img.astype(np.float32), lab, crop_size=crop)
+        finally:
+            np.random.randint = orig_randint
+            _random.randrange = orig_randrange
+
+        ours_img, ours_lab, ours_box = transforms.random_crop(
+            img, crop, lab, rng=ScriptedRng([h_pad, w_pad] + [h0, w0] * 10))
+        np.testing.assert_array_equal(
+            ours_img.astype(np.float32), ref_img, err_msg=f"{h}x{w}")
+        np.testing.assert_array_equal(np.asarray(ours_lab, np.float32),
+                                      np.asarray(ref_lab, np.float32))
+        # the reference's img_box mixes frames: starts are crop-relative
+        # (max(pad-start, 0)) but ends are ABSOLUTE (min(end, pad+h),
+        # transforms.py:160-164) — harmless upstream because the live train
+        # loop unpacks img_box and never uses it (dist_clip_voc.py:241-267).
+        # Ours ships the sanitized crop-relative box; they must agree after
+        # subtracting the crop origin from the reference's ends.
+        want = np.asarray([ref_box[0], ref_box[1] - h0,
+                           ref_box[2], ref_box[3] - w0])
+        np.testing.assert_array_equal(np.asarray(ours_box), want)
