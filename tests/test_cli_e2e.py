@@ -188,6 +188,8 @@ def test_generate_cams_cli(voc_tree, tiny_cfg):
     d = np.load(os.path.join(out, "img00.npy"), allow_pickle=True).item()
     assert set(d) == {"keys", "attn_highres"}
     assert d["attn_highres"].shape == (len(d["keys"]), 40, 60)
+    # fp16 maps like the reference blob (generate_cams_voc12.py:211-215)
+    assert d["attn_highres"].dtype == np.float16
     assert 2 in d["keys"]                       # class 3 -> fg index 2
     assert 0.0 <= d["attn_highres"].min() and d["attn_highres"].max() <= 1.0
 

@@ -83,9 +83,12 @@ def main():
             ex = examples[j]
             oh, ow = ex["label"].shape
             keys = np.where(np.asarray(ex["present_mask"]))[0]
+            # fp16 maps, like the reference (generate_cams_voc12.py:211-215
+            # saves refined CAMs .astype(np.float16))
             np.save(os.path.join(args.out, ex["name"] + ".npy"),
                     {"keys": keys,
-                     "attn_highres": highres[j, keys, :oh, :ow]})
+                     "attn_highres": highres[j, keys, :oh, :ow]
+                     .astype(np.float16)})
         log.info("%d / %d", min(s + bsz, n), n)
 
 
