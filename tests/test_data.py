@@ -46,6 +46,13 @@ def test_class_set_matches_reference_lines():
             want[i] = True
         np.testing.assert_array_equal(mask, want,
                                       err_msg=str(np.unique(lab)))
+    # corrupt label with a stray id in (num_fg, 254): the reference would
+    # IndexError (new_class_names[lid]); we drop it instead of killing a
+    # loader worker
+    bad = np.zeros((4, 4), np.uint8)
+    bad[0, 0], bad[1, 1] = 3, 40
+    mask = class_set_from_label(bad, num_fg=20)
+    assert mask[2] and mask.sum() == 1
 
 
 def test_normalize_img_imagenet_stats():
@@ -133,39 +140,15 @@ def test_seg_dataset_missing_label_fallback(tmp_path):
     assert ex["label"].shape == (40, 60)
 
 
-def test_photometric_distortion_matches_reference(monkeypatch):
+def test_photometric_distortion_matches_reference():
     """Seeded-RNG lockstep vs the reference's mmseg-derived
     PhotoMetricDistortion (datasets/transforms.py:178-264): identical
     global np.random/random streams must yield byte-identical pixels —
     pinning both the random-branch ORDER and the RGB-through-bgr2hsv
-    quirk.  mmcv is stubbed with cv2 (mmcv's own colorspace backend)."""
+    quirk."""
     import random
-    import sys
-    import types
 
-    import cv2
-
-    from tests.test_reference_golden import REF, _install_reference
-    _install_reference()
-    # attach the color functions to whatever mmcv module exists (the
-    # composite goldens install a cnn-only stub first in full-suite order);
-    # monkeypatch scopes the stub to this test
-    m = sys.modules.get("mmcv") or types.ModuleType("mmcv")
-    if not hasattr(m, "bgr2hsv"):
-        monkeypatch.setattr(
-            m, "bgr2hsv",
-            lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV), raising=False)
-        monkeypatch.setattr(
-            m, "hsv2bgr",
-            lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR), raising=False)
-    monkeypatch.setitem(sys.modules, "mmcv", m)
-    # load by file path: 'import datasets' would hit the installed
-    # HuggingFace package whenever an earlier test already imported it
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "_ref_transforms", REF + "/datasets/transforms.py")
-    ref_t = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref_t)
+    ref_t = _load_ref_transforms()
 
     r = np.random.default_rng(0)
     img = r.integers(0, 256, (24, 32, 3), np.uint8)
@@ -183,6 +166,13 @@ def test_photometric_distortion_matches_reference(monkeypatch):
 
 
 def _load_ref_transforms():
+    """Load the reference datasets/transforms.py by file path ('import
+    datasets' would hit the installed HuggingFace package whenever an
+    earlier test already imported it), stubbing the two mmcv color helpers
+    with cv2 (mmcv's own colorspace backend).  The helpers are attached to
+    whatever mmcv module exists (the composite goldens install a cnn-only
+    stub first in full-suite order) and deliberately persist — they are
+    pure cv2 wrappers, safe for any later consumer."""
     import importlib.util
     import sys
     import types
@@ -191,15 +181,22 @@ def _load_ref_transforms():
 
     from tests.test_reference_golden import REF, _install_reference
     _install_reference()
-    # the module imports mmcv at top level; attach the two color helpers to
-    # whatever mmcv module exists (cv2 is mmcv's own colorspace backend)
     m = sys.modules.get("mmcv") or types.ModuleType("mmcv")
     if not hasattr(m, "bgr2hsv"):
         m.bgr2hsv = lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV)
         m.hsv2bgr = lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR)
-    sys.modules.setdefault("mmcv", m)
+    if not hasattr(m, "cnn"):
+        # keep the stub COMPLETE for later consumers regardless of test
+        # order: the composite goldens' _stub_mmcv only installs when no
+        # mmcv module exists yet, and their segformer import needs
+        # mmcv.cnn.ConvModule
+        mc = types.ModuleType("mmcv.cnn")
+        mc.ConvModule = object
+        m.cnn = mc
+        sys.modules["mmcv.cnn"] = mc
+    sys.modules["mmcv"] = m
     spec = importlib.util.spec_from_file_location(
-        "_ref_transforms2", REF + "/datasets/transforms.py")
+        "_ref_transforms", REF + "/datasets/transforms.py")
     ref_t = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_t)
     return ref_t

@@ -48,9 +48,11 @@ def class_set_from_label(label: np.ndarray, num_fg: int) -> np.ndarray:
     class) was wrong and added a spurious class to nearly every image."""
     ids = np.unique(np.asarray(label).astype(np.uint8)) - np.uint8(1)
     ids = ids[(ids != 254) & (ids != 255)].astype(np.int64)
+    # stray ids in (num_fg, 254) would IndexError upstream
+    # (new_class_names[lid]); drop them instead of killing a loader worker
+    # on a corrupt label
     mask = np.zeros(num_fg, bool)
-    for i in ids:
-        mask[int(i)] = True
+    mask[ids[ids < num_fg]] = True
     return mask
 
 
