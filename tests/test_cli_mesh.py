@@ -116,3 +116,29 @@ def test_pallas_dispatch_follows_declared_sharding(monkeypatch):
     pe = np.zeros((17, cfg.clip.vision_width), np.float32)
     Evaluator(cfg, prep, pe, mesh=None)
     assert runtime.pallas_ok()
+
+
+def test_per_device_region_overrides_partitioned_compute(monkeypatch):
+    """While a shard_map-manual body is being traced (runtime.
+    per_device_region — the dp-only eval round, evalx/runner.round_for)
+    every kernel dispatch must fire even though the process declared
+    multi-device compute: inside the body each operand is a whole
+    per-device array."""
+    from weclip_tpu.core import runtime
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(runtime, "_sharded_compute", None)
+    meshlib.make_mesh(data_parallel=8)
+    assert not runtime.pallas_ok()
+    with runtime.per_device_region():
+        assert runtime.pallas_ok()
+        with runtime.per_device_region():          # re-entrant
+            assert runtime.pallas_ok()
+        assert runtime.pallas_ok()
+    assert not runtime.pallas_ok()
+
+    # the backend gate still comes first: CPU-mesh tests that trace the
+    # sharded round must keep the XLA formulations inside the region
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    with runtime.per_device_region():
+        assert not runtime.pallas_ok()

@@ -8,6 +8,7 @@ reference has no tooling here at all)."""
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
@@ -24,6 +25,29 @@ def enable_compilation_cache(path: str | None = None) -> str:
 # a multi-device mesh.  None = never declared; pallas_ok() then falls back
 # to the conservative global device count.
 _sharded_compute: bool | None = None
+
+# Trace-time depth of per-device (shard_map-manual) regions: inside one,
+# every operand a kernel sees is a whole per-device array, so Mosaic custom
+# calls are safe regardless of how the SURROUNDING program is sharded.
+_per_device_depth: int = 0
+
+
+@_contextmanager
+def per_device_region():
+    """Context manager marking a shard_map-manual body while it is TRACED.
+
+    Dispatch decisions (pallas_ok) happen at Python trace time, so wrapping
+    the body's computation in this context routes every kernel dispatch
+    inside it to the fused Pallas implementations even though the process
+    has declared multi-device compute — exactly the jax-documented
+    supported configuration for Mosaic on a mesh (kernels per device under
+    shard_map).  Callers: evalx/runner.round_for's sharded round."""
+    global _per_device_depth
+    _per_device_depth += 1
+    try:
+        yield
+    finally:
+        _per_device_depth -= 1
 
 
 def declare_sharded_compute(active: bool) -> None:
@@ -57,6 +81,10 @@ def pallas_ok() -> bool:
     import jax
     if jax.default_backend() != "tpu":
         return False
+    if _per_device_depth > 0:
+        # tracing a shard_map-manual body: operands are whole per-device
+        # arrays, so the kernels are safe whatever the outer sharding is
+        return True
     if _sharded_compute is not None:
         return not _sharded_compute
     return jax.device_count() == 1

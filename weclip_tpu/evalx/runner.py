@@ -144,8 +144,71 @@ class Evaluator:
         readback, since removed from the timed window.)"""
         key = ("round", mc)
         if key not in self._scale1_cache:
+            mesh, msc = self.mesh, self.msc
+            # dp-only sharded round: run the WHOLE round as a full-manual
+            # shard_map over the data axis, so every Pallas kernel
+            # (attention forward, flash GradCAM backward, decoder, CTI,
+            # PAR) dispatches per device instead of falling back to XLA —
+            # Mosaic custom calls cannot be auto-partitioned by GSPMD, but
+            # per-device under shard_map is the jax-documented supported
+            # configuration.  Gated to meshes whose non-data axes are all
+            # size 1 (the tensor-parallel frozen-MLP sharding needs GSPMD
+            # inside; that configuration keeps the prior per-op path below,
+            # where PAR alone runs its own shard_map).
+            dp_only = (mesh is not None and mesh.size > 1
+                       and all(mesh.shape[a] == 1 for a in mesh.axis_names[1:]))
+            if dp_only:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from weclip_tpu.core.runtime import per_device_region
+                from weclip_tpu.evalx.engine import (make_eval_combine,
+                                                     make_eval_scale1,
+                                                     make_eval_scale2)
+
+                # dedicated per-device program instances: their first trace
+                # happens inside per_device_region, so the kernel dispatch
+                # (decided at trace time) is per-device-true; the shared
+                # self.scale1/... instances stay on the GSPMD path for the
+                # piecewise save/logits/crf loop
+                scale1 = make_eval_scale1(self.cfg, self.policy,
+                                          with_cam=self.with_cam,
+                                          max_classes=mc, prep=self.prep,
+                                          mesh=None)
+                scale2 = (make_eval_scale2(self.cfg, self.policy,
+                                           prep=self.prep) if msc else None)
+                combine = make_eval_combine(self.cfg, msc=msc, prep=self.prep)
+                data_ax = mesh.axis_names[0]
+
+                def body(params, frozen, sb1, sb2, sizes, labels, presents,
+                         cls_idx, cls_active, hists):
+                    with per_device_region():
+                        seg_single, seg_avg1, cam_labels = scale1(
+                            params, frozen, sb1, presents, sizes, cls_idx,
+                            cls_active)
+                        if msc:
+                            sb2 = sb2._replace(img=sb1.img)
+                            seg_avg2 = scale2(params, frozen, sb2, presents,
+                                              sizes)
+                        else:
+                            seg_avg2 = seg_avg1
+                        zeros = jax.tree_util.tree_map(jnp.zeros_like, hists)
+                        ps, pm, upd = combine(seg_single, seg_avg1, seg_avg2,
+                                              cam_labels, labels, sizes,
+                                              zeros)
+                        upd = jax.lax.psum(upd, data_ax)
+                        hists = jax.tree_util.tree_map(jnp.add, hists, upd)
+                        return ps, pm, hists
+
+                d, r = P(data_ax), P()
+                self._scale1_cache[key] = jax.jit(shard_map(
+                    body, mesh=mesh,
+                    in_specs=(r, r, d, d, d, d, d, d, d, r),
+                    out_specs=(d, d, r), check_vma=False))
+                return self._scale1_cache[key]
+
             scale1 = self.scale1_for(mc)
-            scale2, combine, msc = self.scale2, self.combine, self.msc
+            scale2, combine = self.scale2, self.combine
 
             @jax.jit
             def round_fn(params, frozen, sb1, sb2, sizes, labels, presents,
