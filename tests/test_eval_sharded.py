@@ -15,7 +15,7 @@ from weclip_tpu.models import weclip
 from weclip_tpu.parallel import mesh as meshlib
 
 
-def test_sharded_eval_matches_single():
+def test_sharded_eval_matches_single(monkeypatch):
     assert jax.device_count() >= 8
     cfg = tiny.tiny_config()
     cfg = dataclasses.replace(cfg, par=ParConfig(dilations=(1, 2), num_iter=2),
@@ -35,7 +35,22 @@ def test_sharded_eval_matches_single():
     frozen_r = meshlib.replicate(mesh, frozen)
     params_r = meshlib.replicate(mesh, params)
     ev_sharded = Evaluator(cfg, prep, pe, policy=precision.FP32, mesh=mesh)
+
+    # the dp-only mesh must take the full-manual shard_map round (the path
+    # whose per-device tracing enables every Pallas kernel on real pods) —
+    # spy on per_device_region so a silent fall-through to the GSPMD round
+    # cannot pass as equality
+    from weclip_tpu.core import runtime
+    entered = []
+    orig_region = runtime.per_device_region
+
+    def spy_region():
+        entered.append(1)
+        return orig_region()
+
+    monkeypatch.setattr(runtime, "per_device_region", spy_region)
     scores_sharded = ev_sharded.run(params_r, frozen_r, ds)
+    assert entered, "dp-only eval did not trace the shard_map round"
 
     # rtol 1e-5: the sharded and single layouts compile to different
     # fusion/accumulation orders, so pixel counts near argmax ties can
