@@ -19,14 +19,18 @@ import jax
 import jax.numpy as jnp
 
 
-def make_cam_program(cfg, prep, policy, method: str = "grad_cam"):
+def make_cam_program(cfg, prep, policy, method: str = "grad_cam",
+                     mesh=None):
     """Returns jitted ``fn(frozen, sb, presents, sizes) -> (B, num_fg, Co,
     Co)`` refined min-max-normalized CAMs at the output-canvas resolution
     (slice ``[:, :, :oh, :ow]`` for per-image originals).
 
     ``sb``/``sizes`` come from ``Evaluator.build_batch`` (scale-1 batch);
     ``method`` selects the CAM engine (cam/variants.py surface; the
-    reference's live path is grad_cam).
+    reference's live path is grad_cam).  On a dp-only ``mesh`` (the
+    generate_cams CLI's data-parallel sharding) the whole per-image
+    program runs as one full-manual shard_map over ``data`` so the Pallas
+    kernels dispatch per device (parallel/mesh.per_device_map).
     """
     from weclip_tpu.cam.gradcam import _minmax_valid, gradcam_batch
     from weclip_tpu.evalx.engine import _dev_ops_cam, prepare_scale1_images
@@ -36,7 +40,6 @@ def make_cam_program(cfg, prep, policy, method: str = "grad_cam"):
 
     num_fg = cfg.dataset.num_classes - 1
 
-    @jax.jit
     def cams_for_batch(fz, sb, presents, sizes):
         # ``fz`` (the frozen CLIP tree) MUST be an argument, not a closure
         # capture — closure-captured arrays become HLO constants and the
@@ -97,4 +100,10 @@ def make_cam_program(cfg, prep, policy, method: str = "grad_cam"):
         y = jnp.einsum("bog,bcgh->bcoh", mh_cam, grid)
         return jnp.einsum("bph,bcoh->bcop", mw_cam, y)
 
-    return cams_for_batch
+    from weclip_tpu.parallel import mesh as meshlib
+    if meshlib.dp_only(mesh):
+        from jax.sharding import PartitionSpec as P
+        d, r = P(mesh.axis_names[0]), P()
+        return jax.jit(meshlib.per_device_map(
+            cams_for_batch, mesh, in_specs=(r, d, d, d), out_specs=d))
+    return jax.jit(cams_for_batch)

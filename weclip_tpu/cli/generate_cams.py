@@ -67,7 +67,7 @@ def main():
     ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=False,
                    mesh=mesh)
     cams_for_batch = make_cam_program(cfg, prep, policy,
-                                      method=args.cam_method)
+                                      method=args.cam_method, mesh=mesh)
 
     os.makedirs(args.out, exist_ok=True)
     bsz = cfg.eval.batch_images

@@ -155,13 +155,10 @@ class Evaluator:
             # size 1 (the tensor-parallel frozen-MLP sharding needs GSPMD
             # inside; that configuration keeps the prior per-op path below,
             # where PAR alone runs its own shard_map).
-            dp_only = (mesh is not None and mesh.size > 1
-                       and all(mesh.shape[a] == 1 for a in mesh.axis_names[1:]))
-            if dp_only:
-                from jax import shard_map
+            from weclip_tpu.parallel import mesh as meshlib
+            if meshlib.dp_only(mesh):
                 from jax.sharding import PartitionSpec as P
 
-                from weclip_tpu.core.runtime import per_device_region
                 from weclip_tpu.evalx.engine import (make_eval_combine,
                                                      make_eval_scale1,
                                                      make_eval_scale2)
@@ -180,31 +177,29 @@ class Evaluator:
                 combine = make_eval_combine(self.cfg, msc=msc, prep=self.prep)
                 data_ax = mesh.axis_names[0]
 
-                def body(params, frozen, sb1, sb2, sizes, labels, presents,
-                         cls_idx, cls_active, hists):
-                    with per_device_region():
-                        seg_single, seg_avg1, cam_labels = scale1(
-                            params, frozen, sb1, presents, sizes, cls_idx,
-                            cls_active)
-                        if msc:
-                            sb2 = sb2._replace(img=sb1.img)
-                            seg_avg2 = scale2(params, frozen, sb2, presents,
-                                              sizes)
-                        else:
-                            seg_avg2 = seg_avg1
-                        zeros = jax.tree_util.tree_map(jnp.zeros_like, hists)
-                        ps, pm, upd = combine(seg_single, seg_avg1, seg_avg2,
-                                              cam_labels, labels, sizes,
-                                              zeros)
-                        upd = jax.lax.psum(upd, data_ax)
-                        hists = jax.tree_util.tree_map(jnp.add, hists, upd)
-                        return ps, pm, hists
+                def round_body(params, frozen, sb1, sb2, sizes, labels,
+                               presents, cls_idx, cls_active, hists):
+                    seg_single, seg_avg1, cam_labels = scale1(
+                        params, frozen, sb1, presents, sizes, cls_idx,
+                        cls_active)
+                    if msc:
+                        sb2 = sb2._replace(img=sb1.img)
+                        seg_avg2 = scale2(params, frozen, sb2, presents,
+                                          sizes)
+                    else:
+                        seg_avg2 = seg_avg1
+                    zeros = jax.tree_util.tree_map(jnp.zeros_like, hists)
+                    ps, pm, upd = combine(seg_single, seg_avg1, seg_avg2,
+                                          cam_labels, labels, sizes, zeros)
+                    upd = jax.lax.psum(upd, data_ax)
+                    hists = jax.tree_util.tree_map(jnp.add, hists, upd)
+                    return ps, pm, hists
 
                 d, r = P(data_ax), P()
-                self._scale1_cache[key] = jax.jit(shard_map(
-                    body, mesh=mesh,
+                self._scale1_cache[key] = jax.jit(meshlib.per_device_map(
+                    round_body, mesh,
                     in_specs=(r, r, d, d, d, d, d, d, d, r),
-                    out_specs=(d, d, r), check_vma=False))
+                    out_specs=(d, d, r)))
                 return self._scale1_cache[key]
 
             scale1 = self.scale1_for(mc)

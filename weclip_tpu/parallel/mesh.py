@@ -119,6 +119,35 @@ def local_batch_size(mesh: Mesh, global_batch: int) -> int:
     return global_batch // ndata
 
 
+def dp_only(mesh: Optional[Mesh]) -> bool:
+    """True when ``mesh`` partitions compute over its leading (data) axis
+    only — every non-data axis has size 1 — so a program that is pure
+    data-parallel can run as ONE full-manual shard_map over ``data``
+    (per_device_map below), the configuration that keeps the Mosaic
+    kernels dispatched per device (core/runtime.pallas_ok)."""
+    return (mesh is not None and mesh.size > 1
+            and all(mesh.shape[a] == 1 for a in mesh.axis_names[1:]))
+
+
+def per_device_map(fn, mesh: Mesh, in_specs, out_specs):
+    """Full-manual ``shard_map`` whose body is traced inside
+    ``runtime.per_device_region`` so every kernel dispatch inside ``fn``
+    sees whole per-device operands and stays on the fused Pallas
+    implementations.  ``fn`` may use the collective helpers above (the
+    mesh's axis names are in scope); callers should gate on
+    ``dp_only(mesh)`` unless the specs genuinely describe every axis."""
+    from jax import shard_map
+
+    from weclip_tpu.core.runtime import per_device_region
+
+    def body(*args):
+        with per_device_region():
+            return fn(*args)
+
+    return shard_map(body, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)
+
+
 # ---------------------------------------------------------------------------
 # Collective helpers (for use inside shard_map'ed functions)
 # ---------------------------------------------------------------------------
