@@ -30,6 +30,47 @@ except Exception:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r3 #3).  `pytest -m smoke` = the parity-critical fast
+# core (<2 min warm-cache on the 1-core axon host); the full suite (no -m)
+# stays the round-close gate.  Membership is module-granular with explicit
+# per-test exclusions for the handful of slow tests inside smoke modules
+# (compile-heavy composites, fulldim shapes, CLI e2e, mesh tests are out).
+# ---------------------------------------------------------------------------
+
+SMOKE_MODULES = {
+    "test_affinity", "test_attention_block", "test_bbox", "test_checkpoint",
+    "test_clip_loader", "test_coco_data", "test_compaction", "test_crf",
+    "test_data", "test_gradcam", "test_loader_pipeline", "test_losses",
+    "test_operators", "test_par", "test_reference_golden", "test_resize",
+    "test_smoke_train", "test_stream_padding", "test_text_encoder",
+    "test_tokenizer", "test_utils_extra",
+}
+
+# slow individual tests inside smoke modules (durations from the r4 full
+# run; each of these alone would eat >5% of the 2-min budget)
+SMOKE_EXCLUDE = {
+    "test_build_text_features_zeroshot_tables",      # 62 s
+    "test_compacted_pseudo_labels_match_full",       # 45 s
+    "test_forward_train_invariant_to_stream_pad",    # 42 s
+    "test_gradcam_matches_torch_autograd",           # 18 s
+    "test_forward_last_layer_matches_reference",     # 17 s
+    "test_restore_onto_mesh_resumes_exactly",        # 14 s
+    "test_resume_is_exact",                          # 12 s
+    "test_par_matches_reference_module",             # 9 s
+    "test_par_full_dilations",                       # 6 s
+    "test_build_frozen_real_checkpoint_branch",      # 6 s
+    "test_jax_mean_field_agrees_with_native_lattice",  # 6 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if (item.module.__name__.rpartition(".")[2] in SMOKE_MODULES
+                and base not in SMOKE_EXCLUDE):
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture
 def rng():

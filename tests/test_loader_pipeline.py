@@ -176,3 +176,58 @@ def test_loader_reorder_buffer_bounded():
     assert len(loader._reorder) <= 6
     np.testing.assert_array_equal(first["idx"], [0, 1, 2, 3])
     loader.close()
+
+
+def test_loader_per_host_shards_reassemble_epoch():
+    """Multi-host sharding (SURVEY §2.10): P loaders with the same seed and
+    process_index 0..P-1 draw disjoint, equal-length shards whose union is
+    each epoch's permutation prefix — deterministically across runs."""
+    P, n, bs = 2, 26, 4                    # 26 // 2 = 13 -> 3 batches + tail
+    per_host = n // P
+    batches_per_epoch = per_host // bs
+    epochs = 2
+
+    def host_stream(rank):
+        loader = PrefetchLoader(ToyDataset(n), batch_size=bs, seed=5,
+                                num_threads=1, process_index=rank,
+                                process_count=P)
+        it = iter(loader)
+        out = [sorted(np.concatenate(
+            [next(it)["idx"] for _ in range(batches_per_epoch)]).tolist())
+            for _ in range(epochs)]
+        loader.close()
+        return out
+
+    streams = [host_stream(r) for r in range(P)]
+    for e in range(epochs):
+        shards = [set(s[e]) for s in streams]
+        # disjoint, equal length
+        assert not shards[0] & shards[1]
+        assert all(len(s) == bs * batches_per_epoch for s in shards)
+        union = shards[0] | shards[1]
+        assert union <= set(range(n))
+    # deterministic: a re-run reproduces each host's stream exactly
+    assert host_stream(0) == streams[0]
+
+
+def test_loader_per_host_full_coverage_when_divisible():
+    """When len(dataset) divides evenly into hosts x batches, the union of
+    host shards is the COMPLETE epoch (no example dropped)."""
+    P, n, bs = 2, 24, 4
+    loaders = [PrefetchLoader(ToyDataset(n), batch_size=bs, seed=9,
+                              num_threads=1, process_index=r,
+                              process_count=P) for r in range(P)]
+    seen = []
+    for ld in loaders:
+        it = iter(ld)
+        for _ in range(n // P // bs):
+            seen.extend(next(it)["idx"].tolist())
+        ld.close()
+    assert sorted(seen) == list(range(n))
+
+
+def test_loader_rejects_bad_process_index():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="process_index"):
+        PrefetchLoader(ToyDataset(8), batch_size=2, process_index=2,
+                       process_count=2)

@@ -1,0 +1,459 @@
+"""One-command real-weight validation runbook (VERDICT r3 next-round #1).
+
+The build box has zero network egress and ships neither the OpenAI
+``ViT-B-16.pt`` checkpoint nor VOC/COCO data, so every parity number in
+PARITY.md is a random-weight executed-reference golden.  This tool closes
+that gap the moment assets appear: point it at a checkpoint (and
+optionally a VOC root) and it runs, in order,
+
+  1. acquire   — locate or sha256-verified-download the checkpoint
+                 (reference clip/clip.py:44-73 semantics);
+  2. zeroshot  — load the real weights through our loader + BPE tokenizer
+                 + prompt tables (the init-time zeroshot_classifier,
+                 ref model_attn_aff_voc.py:34-46,81-82) and sanity-check
+                 the inferred ViT-B/16 architecture;
+  3. agreement — assemble the EXECUTED reference WeCLIP (read-only import
+                 from --ref) and our model with the SAME real CLIP weights
+                 and the SAME shared random decoder heads, run both on the
+                 same inputs, and report seg/attn/pseudo-label agreement
+                 under fp32 and the shipped bf16 policy — the real-weight
+                 version of tests/test_composite_fulldim.py;
+  4. train     — (--train, needs --voc_root) the full reference VOC recipe
+                 (30k iters, ref scripts/dist_clip_voc.py defaults);
+  5. eval      — (needs --voc_root) msc-flip VOC val mIoU
+                 (ref test_msc_flip_voc.py protocol, optional --crf), and
+                 the paper-number check: WeCLIP reports 76.4 VOC val mIoU;
+                 the north-star budget is ±0.3.
+
+Every stage that cannot run records WHY (verbatim exception) in the JSON
+artifact instead of failing the run, so a blocked box still produces an
+honest record of the attempt.
+
+Self-test (no assets needed): ``python tools/validate_real.py --selftest``
+builds a tiny random ViT checkpoint at real context-length/vocab and runs
+stages 1-3 end-to-end, proving the plumbing before real assets exist.
+
+Usage once assets exist:
+  python tools/validate_real.py --ckpt ~/.cache/weclip_tpu/ViT-B-16.pt \
+      --voc_root /data/VOCdevkit/VOC2012 --train --crf
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import traceback
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+PAPER_VOC_VAL_MIOU = 76.4          # WeCLIP paper, VOC12 val
+MIOU_BUDGET = 0.3
+
+
+def _record(result, stage, fn, *a, **k):
+    """Run a stage, storing its dict result or the verbatim failure."""
+    try:
+        out = fn(*a, **k)
+        result[stage] = {"status": "ok", **(out or {})}
+        return True
+    except Exception:
+        result[stage] = {"status": "failed",
+                         "error": traceback.format_exc()}
+        print(f"[validate_real] stage {stage} FAILED:\n"
+              f"{result[stage]['error']}", file=sys.stderr)
+        return False
+
+
+# --------------------------------------------------------------------------
+# stage 1: acquire
+# --------------------------------------------------------------------------
+
+def stage_acquire(args):
+    from weclip_tpu.models.clip.loader import download_checkpoint
+    if args.ckpt and os.path.exists(args.ckpt):
+        return {"path": args.ckpt, "source": "local"}
+    path = download_checkpoint(args.ckpt or "ViT-B/16")
+    return {"path": path, "source": "download"}
+
+
+# --------------------------------------------------------------------------
+# stage 2: our loader + real zeroshot text features
+# --------------------------------------------------------------------------
+
+def stage_zeroshot(ckpt_path, expect_vitb16=True):
+    from weclip_tpu.core.config import Config
+    from weclip_tpu.train.trainer import build_frozen
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, clip=dataclasses.replace(cfg.clip, pretrained_path=ckpt_path))
+    frozen, clip_params, cfg = build_frozen(cfg)
+    cc = cfg.clip
+    if expect_vitb16:
+        assert (cc.vision_width, cc.vision_layers, cc.patch_size) == \
+            (768, 12, 16), ("not ViT-B/16:", cc)
+    fg = np.asarray(frozen["fg_text"])
+    bg = np.asarray(frozen["bg_text"])
+    np.testing.assert_allclose(np.linalg.norm(fg, axis=-1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(bg, axis=-1), 1.0, rtol=1e-4)
+    return {
+        "vision_width": cc.vision_width, "vision_layers": cc.vision_layers,
+        "patch_size": cc.patch_size, "embed_dim": cc.embed_dim,
+        "fg_features": list(fg.shape), "bg_features": list(bg.shape),
+    }, (frozen, clip_params, cfg)
+
+
+# --------------------------------------------------------------------------
+# stage 3: executed-reference agreement with REAL weights
+# --------------------------------------------------------------------------
+
+def _patch_cuda_to_cpu():
+    """The reference hard-codes .cuda(); run it on whatever torch has
+    (tests/test_composite_golden.py::cpu_cuda, minus pytest)."""
+    import torch
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.manual_seed(0)
+    return torch
+
+
+def stage_agreement(ckpt_path, ref_dir, voc_root=None, image_px=320):
+    """Real-weight version of the fulldim composite golden.
+
+    Builds the reference WeCLIP (executed read-only from ``ref_dir``) and
+    our model around the SAME checkpoint + the SAME random decoder heads,
+    runs both on identical images (real VOC images when --voc_root is
+    given, synthetic otherwise), and reports agreement.
+    """
+    from tests.test_reference_golden import _install_reference
+    import tests.test_reference_golden as trg
+    trg.REF = ref_dir
+    _install_reference()
+    torch = _patch_cuda_to_cpu()
+    from tests.test_composite_golden import (_head_params_from_torch,
+                                             _stub_mmcv, present_from_label)
+    _stub_mmcv()
+
+    import jax
+    import jax.numpy as jnp
+    from clip.model import build_model
+    from PIL import Image
+
+    from weclip_tpu.core import precision
+    from weclip_tpu.core.compaction import compact_classes
+    from weclip_tpu.core.config import ClipConfig, Config
+    from weclip_tpu.models import weclip
+    from weclip_tpu.models.clip import vit
+    from weclip_tpu.models.clip.loader import (infer_config,
+                                               load_torch_state_dict,
+                                               params_from_state_dict)
+
+    # ---- one real CLIP, realized twice --------------------------------
+    np_sd = load_torch_state_dict(ckpt_path)
+    clip_cfg = infer_config(np_sd, ClipConfig())
+    clip_params = params_from_state_dict(np_sd, clip_cfg)
+    torch_sd = {k: torch.from_numpy(v) for k, v in np_sd.items()}
+    clip_model = build_model(torch_sd).float().eval()   # ref clip/model.py:481
+
+    # ---- real zeroshot classifier on BOTH sides -----------------------
+    from WeCLIP_model.model_attn_aff_voc import (BACKGROUND_CATEGORY,
+                                                 new_class_names,
+                                                 zeroshot_classifier)
+    fg_t = zeroshot_classifier(new_class_names, ['a clean origami {}.'],
+                               clip_model)
+    bg_t = zeroshot_classifier(BACKGROUND_CATEGORY, ['a clean origami {}.'],
+                               clip_model)
+    fg, bg = fg_t.numpy(), bg_t.numpy()
+
+    from weclip_tpu.models.clip.prompts import build_text_features
+    from weclip_tpu.models.clip.tokenizer import Tokenizer
+    fg_ours, bg_ours = build_text_features("voc", clip_params["text"],
+                                           clip_cfg, Tokenizer())
+    zeroshot_fg_err = float(np.abs(fg_ours - fg).max())
+    zeroshot_bg_err = float(np.abs(bg_ours - bg).max())
+
+    # ---- images + per-image class sets --------------------------------
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="validate_real_")
+    seg_dir = os.path.join(tmp, "SegmentationClassAug")
+    os.makedirs(seg_dir, exist_ok=True)
+    if voc_root:
+        # real images through the real training transform chain; the
+        # reference derives class sets from the FULL label PNG regardless
+        # of the crop (model_attn_aff_voc.py root_path read), so the real
+        # SegmentationClassAug dir serves as root_path directly
+        from weclip_tpu.core.config import DatasetConfig
+        from weclip_tpu.data.voc import VOCClsDataset
+        dcfg = dataclasses.replace(
+            DatasetConfig(), root_dir=voc_root,
+            name_list_dir=os.path.join(ref_dir, "datasets", "voc"),
+            crop_size=image_px)
+        ds = VOCClsDataset(dcfg, split="train_aug", seed=0)
+        names, imgs, present_rows = [], [], []
+        for i in range(2):
+            ex = ds[i]
+            names.append(ex["name"])
+            imgs.append(np.asarray(ex["img"], np.float32))
+            present_rows.append(ex["present_mask"])
+        seg_dir = os.path.join(voc_root, "SegmentationClassAug")
+        present = np.stack(present_rows)
+        imgs = np.stack(imgs)
+    else:
+        rng = np.random.default_rng(7)
+        hw = image_px
+        lab0 = np.zeros((hw, hw), np.uint8)
+        lab0[hw // 8:hw // 2, hw // 5:2 * hw // 3] = 5
+        lab0[5 * hw // 8:15 * hw // 16, hw // 10:hw // 2] = 12
+        lab1 = np.zeros((hw, hw), np.uint8)
+        lab1[hw // 10:3 * hw // 4, hw // 8:4 * hw // 5] = 15
+        names, labels = ["v0", "v1"], [lab0, lab1]
+        imgs = np.stack([rng.standard_normal((3, hw, hw)).astype(np.float32)
+                         for _ in names])
+        for n, lab in zip(names, labels):
+            Image.fromarray(lab).save(os.path.join(seg_dir, n + ".png"))
+        present = np.stack([present_from_label(lab) for lab in labels])
+
+    # ---- reference WeCLIP assembly (model_attn_aff_voc.py:61-92, CPU) --
+    from pytorch_grad_cam import GradCAM
+    from WeCLIP_model import model_attn_aff_voc as ref_mod
+    from WeCLIP_model.Decoder.TransDecoder import DecoderTransformer
+    from WeCLIP_model.PAR import PAR
+    from WeCLIP_model.segformer_head import SegFormerHead
+
+    embed, width = 256, clip_cfg.vision_width
+    m = ref_mod.WeCLIP.__new__(ref_mod.WeCLIP)
+    torch.nn.Module.__init__(m)
+    m.num_classes, m.embedding_dim, m.in_channels = 21, embed, width
+    m.encoder = clip_model
+    m.decoder_fts_fuse = SegFormerHead(in_channels=[width] * 4,
+                                       embedding_dim=embed,
+                                       num_classes=21, index=11)
+    m.decoder = DecoderTransformer(width=embed, layers=3, heads=8,
+                                   output_dim=21)
+    m.bg_text_features = torch.from_numpy(bg)
+    m.fg_text_features = torch.from_numpy(fg)
+    m.target_layers = [clip_model.visual.transformer.resblocks[-1].ln_1]
+    m.grad_cam = GradCAM(model=clip_model, target_layers=m.target_layers,
+                         reshape_transform=ref_mod.reshape_transform)
+    m.root_path = seg_dir
+    m.cam_bg_thres = 1
+    m.par = PAR(num_iter=20, dilations=[1, 2, 4, 8, 12, 24])
+    m.iter_num = 0
+    m.require_all_fts = True
+    m = m.float().eval()
+
+    # ---- our model with the same weights ------------------------------
+    base = Config()
+    clip_cfg = dataclasses.replace(clip_cfg, embedding_dim=embed)
+    cfg = dataclasses.replace(base, clip=clip_cfg)
+    frozen = weclip.build_frozen_state(
+        jax.tree_util.tree_map(jnp.asarray, clip_params), fg, bg)
+    params = _head_params_from_torch(m.decoder_fts_fuse, m.decoder)
+
+    seg_t, cam_labels_t, attn_pred_t = m(torch.from_numpy(imgs), names,
+                                         mode="train")
+
+    g = image_px // 16
+    out_rows = {}
+    for pol_name in ("fp32", "bf16"):
+        policy = (precision.FP32 if pol_name == "fp32"
+                  else precision.make_policy("bfloat16"))
+        ci, ca = compact_classes(present, 2)
+        pe = vit.build_pos_emb(frozen["visual"], g, g)[None]
+        batch = weclip.Batch(
+            img=jnp.asarray(imgs), pos_emb=pe,
+            valid=jnp.ones((len(names), g * g + 1), bool),
+            gh=jnp.full((len(names),), g, jnp.int32),
+            gw=jnp.full((len(names),), g, jnp.int32),
+            present_mask=jnp.asarray(present))
+        out = weclip.forward_train(
+            params, frozen, batch, cfg, require_seg_trans=jnp.bool_(False),
+            dropout_rng=None, policy=policy,
+            cls_idx=jnp.asarray(ci), cls_active=jnp.asarray(ca))
+        seg_ours = np.asarray(out.seg, np.float32).reshape(
+            len(names), g, g, 21).transpose(0, 3, 1, 2)
+        seg_ref = seg_t.detach().numpy()
+        pseudo_ours = np.asarray(out.cam_labels)
+        pseudo_ref = cam_labels_t.detach().numpy()
+        out_rows[pol_name] = {
+            "seg_argmax_agreement":
+                float((seg_ours.argmax(1) == seg_ref.argmax(1)).mean()),
+            "attn_pred_max_abs_err":
+                float(np.abs(np.asarray(out.attn_pred, np.float32)
+                             - attn_pred_t.detach().numpy()).max()),
+            "pseudo_label_agreement":
+                float((pseudo_ours == pseudo_ref).mean()),
+        }
+    return {
+        "zeroshot_fg_max_abs_err": zeroshot_fg_err,
+        "zeroshot_bg_max_abs_err": zeroshot_bg_err,
+        "images": "voc" if voc_root else "synthetic",
+        "image_px": image_px,
+        **out_rows,
+    }
+
+
+# --------------------------------------------------------------------------
+# stages 4+5: train + eval against the paper number
+# --------------------------------------------------------------------------
+
+def _real_cfg(ckpt_path, voc_root, name_list_dir, work_dir=None):
+    from weclip_tpu.core.config import Config
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        clip=dataclasses.replace(cfg.clip, pretrained_path=ckpt_path),
+        dataset=dataclasses.replace(cfg.dataset, root_dir=voc_root,
+                                    name_list_dir=name_list_dir))
+    if work_dir:
+        cfg = dataclasses.replace(
+            cfg, work_dir=dataclasses.replace(cfg.work_dir, dir=work_dir))
+    return cfg
+
+
+def stage_train(ckpt_path, voc_root, name_list_dir, work_dir,
+                max_iters=None):
+    from weclip_tpu.train.trainer import train
+
+    cfg = _real_cfg(ckpt_path, voc_root, name_list_dir, work_dir)
+    if max_iters:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, max_iters=max_iters))
+    train(cfg)
+    ckpt_dir = os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir)
+    return {"ckpt_dir": ckpt_dir, "max_iters": cfg.train.max_iters}
+
+
+def stage_eval(ckpt_path, voc_root, name_list_dir, model_ckpt, crf=False):
+    """msc-flip VOC val (ref test_msc_flip_voc.py protocol) vs the paper
+    number.  ``model_ckpt``: the checkpoint DIR stage 4 produced."""
+    from weclip_tpu.cli import common
+    from weclip_tpu.cli.eval_voc import run_eval
+
+    argv = ["--model_path", model_ckpt] + (["--crf"] if crf else [])
+    args = common.eval_parser().parse_args(argv)
+    cfg = _real_cfg(ckpt_path, voc_root, name_list_dir)
+    scores = run_eval(cfg, args, "voc")
+    key = "crf_seg" if crf and "crf_seg" in scores else "msc_seg"
+    miou = float(scores[key]["miou"]) * 100.0
+    return {"miou": miou, "score_key": key, "paper": PAPER_VOC_VAL_MIOU,
+            "delta": miou - PAPER_VOC_VAL_MIOU,
+            "within_budget": abs(miou - PAPER_VOC_VAL_MIOU) <= MIOU_BUDGET}
+
+
+# --------------------------------------------------------------------------
+
+def _make_selftest_ckpt(out_dir):
+    """Tiny random ViT checkpoint at real context-length/vocab (the BPE
+    path needs real token ids — tests/test_clip_loader.py pattern)."""
+    from tests.test_reference_golden import _install_reference
+    _install_reference()
+    torch = _patch_cuda_to_cpu()
+    from clip.model import CLIP
+    # 12 vision layers: WeCLIP's SegFormerHead fuses the 11 block outputs
+    # (segformer_head.py index=11), so shallower towers don't compose
+    model = CLIP(embed_dim=32, image_resolution=224, vision_layers=12,
+                 vision_width=64, vision_patch_size=16,
+                 context_length=77, vocab_size=49408,
+                 transformer_width=64, transformer_heads=1,
+                 transformer_layers=2).float().eval()
+    path = os.path.join(out_dir, "selftest_vit.pt")
+    torch.save(model.state_dict(), path)
+    return path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--ckpt", default=None,
+                    help="CLIP checkpoint path or catalog key/URL "
+                         "(default: download ViT-B/16)")
+    ap.add_argument("--voc_root", default=None,
+                    help="VOCdevkit/VOC2012 root (enables stages 4-5)")
+    ap.add_argument("--ref", default="/root/reference",
+                    help="reference checkout for the agreement stage")
+    ap.add_argument("--train", action="store_true",
+                    help="run the full VOC training recipe before eval")
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--eval_ckpt", default=None,
+                    help="trained decoder checkpoint for stage 5 "
+                         "(default: the one stage 4 produced)")
+    ap.add_argument("--crf", action="store_true")
+    ap.add_argument("--work_dir", default="work_dir_validate_real")
+    ap.add_argument("--name_list_dir", default=None,
+                    help="dir with train_aug.txt/val.txt + "
+                         "cls_labels_onehot.npy (default: "
+                         "{--ref}/datasets/voc)")
+    ap.add_argument("--out", default="validate_real.json")
+    ap.add_argument("--image_px", type=int, default=320)
+    ap.add_argument("--selftest", action="store_true",
+                    help="run stages 1-3 with a generated tiny checkpoint")
+    args = ap.parse_args(argv)
+
+    # persistent XLA cache: the agreement stage compiles the composite
+    # twice (fp32 + bf16); repeat invocations should not pay that again
+    try:
+        from weclip_tpu.core.runtime import enable_compilation_cache
+        enable_compilation_cache(
+            os.path.expanduser("~/.cache/weclip_validate_xla"))
+    except Exception:
+        pass
+
+    # the BPE merges file is unvendorable data; borrow the reference's copy
+    if not os.environ.get("WECLIP_BPE_PATH"):
+        cand = os.path.join(args.ref, "clip", "bpe_simple_vocab_16e6.txt.gz")
+        if os.path.exists(cand):
+            os.environ["WECLIP_BPE_PATH"] = cand
+
+    result = {"selftest": args.selftest}
+    if args.selftest:
+        import tempfile
+        args.ckpt = _make_selftest_ckpt(tempfile.mkdtemp(prefix="vr_self_"))
+
+    ok = _record(result, "acquire", stage_acquire, args)
+    if ok:
+        ckpt = result["acquire"]["path"]
+        if _record(result, "zeroshot", lambda: stage_zeroshot(
+                ckpt, expect_vitb16=not args.selftest)[0]):
+            _record(result, "agreement", stage_agreement, ckpt, args.ref,
+                    voc_root=args.voc_root, image_px=args.image_px)
+        if args.voc_root:
+            name_list_dir = args.name_list_dir or os.path.join(
+                args.ref, "datasets", "voc")
+            model_ckpt = args.eval_ckpt
+            if args.train:
+                if _record(result, "train", stage_train, ckpt,
+                           args.voc_root, name_list_dir, args.work_dir,
+                           args.iters):
+                    model_ckpt = model_ckpt or result["train"]["ckpt_dir"]
+            if model_ckpt:
+                _record(result, "eval", stage_eval, ckpt, args.voc_root,
+                        name_list_dir, model_ckpt, crf=args.crf)
+            else:
+                result["eval"] = {"status": "skipped",
+                                  "reason": "no trained checkpoint "
+                                            "(--train or --eval_ckpt)"}
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "error"}
+                      if isinstance(v, dict) else v
+                      for k, v in result.items()}, indent=2))
+    failed = [k for k, v in result.items()
+              if isinstance(v, dict) and v.get("status") == "failed"]
+    if failed:
+        print(f"[validate_real] failed stages: {failed} — verbatim errors "
+              f"recorded in {args.out}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

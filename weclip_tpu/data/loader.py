@@ -41,18 +41,34 @@ def collate(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class PrefetchLoader:
+    """``process_index``/``process_count``: per-host dataset sharding for
+    multi-host slices (SURVEY §2.10; the reference's DistributedSampler
+    role, scripts/dist_clip_voc.py:166).  Every host draws the SAME
+    per-epoch permutation (same ``seed``) and takes the strided slice
+    ``perm[:len//P*P][process_index::P]`` — shards are disjoint, equal
+    length on every host, and their union is the permutation's first
+    ``len//P*P`` elements, so the global stream is a deterministic
+    function of ``seed`` alone (the ≤P-1 remainder examples of each epoch
+    are dropped, like DistributedSampler(drop_last=True))."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 1, num_threads: int = 2, prefetch: int = 4,
-                 drop_last: bool = True):
+                 drop_last: bool = True, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        if drop_last and len(dataset) < batch_size:
+        if not 0 <= process_index < process_count:
             raise ValueError(
-                f"dataset ({len(dataset)} examples) smaller than one batch "
-                f"({batch_size}) with drop_last=True — no batch would ever "
-                f"be produced")
+                f"process_index {process_index} outside [0, {process_count})")
+        self.process_index = process_index
+        self.process_count = process_count
+        if drop_last and len(dataset) // process_count < batch_size:
+            raise ValueError(
+                f"dataset shard ({len(dataset)} examples / {process_count} "
+                f"hosts) smaller than one batch ({batch_size}) with "
+                f"drop_last=True — no batch would ever be produced")
         self._seed = seed
         self.rng = np.random.default_rng(seed)
         self._window = num_threads + prefetch
@@ -72,10 +88,16 @@ class PrefetchLoader:
             t.start()
 
     def _feed(self):
-        n = len(self.dataset)
+        n_total = len(self.dataset)
         seq = 0
         while not self._stop.is_set():
-            order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+            order = (self.rng.permutation(n_total) if self.shuffle
+                     else np.arange(n_total))
+            if self.process_count > 1:
+                per_host = n_total // self.process_count
+                order = order[:per_host * self.process_count][
+                    self.process_index::self.process_count]
+            n = len(order)
             end = (n // self.batch_size) * self.batch_size if self.drop_last else n
             for s in range(0, end, self.batch_size):
                 with self._admit:

@@ -105,7 +105,13 @@ def train(cfg: Config, resume: bool = False,
     log.info("global batch %d (%d per chip x %d chips)",
              global_batch, cfg.train.samples_per_gpu, n_data)
     from weclip_tpu.data.loader import PrefetchLoader
-    loader = PrefetchLoader(dataset, global_batch, seed=cfg.train.seed)
+    # multi-host slices: each host feeds its own disjoint shard of every
+    # epoch (SURVEY §2.10); single-host (process_count()==1) is unchanged.
+    # global_batch stays the PER-HOST batch — each host's chips consume
+    # what its own loader produces.
+    loader = PrefetchLoader(dataset, global_batch, seed=cfg.train.seed,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
 
     state, tx = step_mod.create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     ckpt_dir = os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir)
