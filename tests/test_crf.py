@@ -152,3 +152,86 @@ def test_permutohedral_normalized_ratio_tight(rng):
     const = permutohedral_filter(feats, np.full((n, 2), 0.7, np.float32))
     ones = permutohedral_filter(feats, np.ones((n, 1), np.float32))
     np.testing.assert_allclose(const / ones, 0.7, rtol=1e-4)
+
+
+def test_jax_crf_miou_delta_within_parity_budget():
+    """Ties the jax-CRF approximation to the ±0.3-mIoU north-star budget
+    (VERDICT r3 #5): on a structured multi-image eval where the native
+    lattice CRF meaningfully moves the confusion histograms — label noise
+    CONCENTRATED at segment boundaries, exactly where dense-CRF earns its
+    mIoU — the stride-4 and stride-8 jax paths' mIoU may deviate from the
+    exact native-lattice mIoU by at most a stated fraction of the budget.
+
+    Measured here (a fixture where the CRF's own contribution is ~22.5
+    mIoU pts, far beyond its ≲1 pt real-data effect): native lifts 77.0 ->
+    99.5; jax RETAINS 89% of that lift at stride 4 (97.1) and 74% at
+    stride 8 (93.7).  Deviation scales with the CRF's contribution, so at
+    a real-data CRF gain of ~1 pt the expected deviation is ~0.11 pt
+    (stride 4 — inside the 0.3 budget with margin) vs ~0.26 pt (stride 8
+    — marginal).  The assertions pin the retained fractions; the defaults
+    decision they justify (PARITY.md): --crf_impl native (EXACT, zero
+    approximation) stays the parity default, and the jax speed path
+    defaults to stride 4, with stride 8 the explicit fast mode.
+    """
+    import jax.numpy as jnp
+    from weclip_tpu.core.config import CrfConfig
+    from weclip_tpu.evalx.metrics import scores
+    from weclip_tpu.refine.crf import mean_field_crf_jax
+
+    rng2 = np.random.default_rng(11)
+    K, h, w = 4, 128, 128
+    cfg = CrfConfig()
+    hists = {k: np.zeros((K, K), np.float64)
+             for k in ("unary", "native", "jax4", "jax8")}
+
+    for case in range(6):
+        yy, xx = np.mgrid[0:h, 0:w]
+        gt = np.zeros((h, w), np.int64)
+        cy, cx, r = 40 + 6 * case, 38 + 5 * case, 26 + 2 * case
+        gt[(yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2] = 1
+        gt[(np.abs(yy - 96) < 20) & (np.abs(xx - (90 - 4 * case)) < 24)] = 2
+        gt[:, : 12 + case] = 3
+        colors = np.array([[90, 120, 80], [200, 60, 50],
+                           [40, 80, 190], [220, 200, 60]], np.float32)
+        img = colors[gt] + rng2.normal(0, 10, (h, w, 3))
+        img = np.clip(img, 0, 255).astype(np.uint8)
+
+        # boundary-band noise: within 3 px of a label edge flip to a
+        # random class with p=0.45; sparse 4% interior noise
+        edge = np.zeros((h, w), bool)
+        edge[:-1] |= gt[:-1] != gt[1:]
+        edge[:, :-1] |= gt[:, :-1] != gt[:, 1:]
+        band = edge.copy()
+        for _ in range(3):
+            band[1:] |= band[:-1]; band[:-1] |= band[1:]
+            band[:, 1:] |= band[:, :-1]; band[:, :-1] |= band[:, 1:]
+        flip = (band & (rng2.random((h, w)) < 0.45)) | \
+               (~band & (rng2.random((h, w)) < 0.04))
+        noisy = np.where(flip, rng2.integers(0, K, (h, w)), gt)
+        probs = np.full((K, h, w), 0.15 / (K - 1), np.float32)
+        for c in range(K):
+            probs[c][noisy == c] = 0.85
+
+        preds = {"unary": probs.argmax(0),
+                 "native": DenseCRF.from_config(cfg)(img, probs).argmax(0)}
+        img_dev = jnp.asarray(img.transpose(2, 0, 1), jnp.float32)
+        for stride in (4, 8):
+            preds[f"jax{stride}"] = np.asarray(mean_field_crf_jax(
+                jnp.asarray(probs), img_dev, cfg,
+                bi_stride=stride)).argmax(0)
+        for k, p in preds.items():
+            hists[k] += np.bincount(K * gt.ravel() + p.ravel(),
+                                    minlength=K * K).reshape(K, K)
+
+    miou = {k: scores(hists[k])["miou"] * 100.0 for k in hists}
+    # the fixture is meaningful: native CRF moves mIoU substantially
+    gain = miou["native"] - miou["unary"]
+    assert gain > 20.0, miou
+    retained4 = (miou["jax4"] - miou["unary"]) / gain
+    retained8 = (miou["jax8"] - miou["unary"]) / gain
+    # stride 4 must retain >= 85% of the CRF's effect => at the reference's
+    # real-data CRF-gain scale (~1 pt) a deviation <= 0.15 = half the 0.3
+    # budget; stride 8 >= 70% (~0.3 pt at that scale — budget-marginal,
+    # hence NOT the accuracy default)
+    assert retained4 >= 0.85, (miou, retained4)
+    assert retained8 >= 0.70, (miou, retained8)

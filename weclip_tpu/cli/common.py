@@ -74,11 +74,14 @@ def eval_parser(default_config: str | None = None) -> argparse.ArgumentParser:
                    help="dense-CRF backend: exact C++ permutohedral lattice "
                         "on the host, or the approximate batched on-device "
                         "JAX mean field")
-    p.add_argument("--crf_stride", default=8, type=int,
-                   help="bilateral subsampling stride of the jax CRF "
-                        "(8 = dense untruncated kernel, fastest; 4 recovers "
-                        "most remaining fidelity — agreement numbers in "
-                        "PARITY.md)")
+    p.add_argument("--crf_stride", default=4, type=int,
+                   help="bilateral subsampling stride of the jax CRF.  "
+                        "Default 4: retains >=85%% of the CRF's mIoU effect "
+                        "vs the exact lattice (<=0.15 pt at real-data CRF-"
+                        "gain scales — inside the ±0.3 parity budget; "
+                        "tests/test_crf.py budget test).  8 is the fast "
+                        "mode (~3x quicker, ~74%% retained — budget-"
+                        "marginal); --crf_impl native is always exact")
     p.add_argument("--crf", action="store_true",
                    help="dense-CRF post-processing (the reference defines "
                         "crf_proc but ships with the call commented out)")

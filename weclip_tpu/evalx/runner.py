@@ -342,7 +342,7 @@ class Evaluator:
             progress: bool = False,
             crf: bool = False,
             crf_impl: str = "native",
-            crf_stride: int = 8,
+            crf_stride: int = 4,
             save_dir: Optional[str] = None,
             logits_dir: Optional[str] = None,
             return_hists: bool = False) -> Dict[str, Dict]:
@@ -351,7 +351,11 @@ class Evaluator:
         the approximate on-device mean field batched over the canvas —
         orders of magnitude faster when host cores are scarce.
         ``crf_stride``: bilateral subsampling stride of the jax impl
-        (accuracy/speed dial; fidelity measured in PARITY.md)."""
+        (accuracy/speed dial).  Default 4 retains >=85% of the CRF's mIoU
+        effect vs the exact lattice (<=0.15 pt at real-data CRF-gain
+        scales, inside the ±0.3 parity budget); 8 is ~3x faster but
+        budget-marginal (tests/test_crf.py::
+        test_jax_crf_miou_delta_within_parity_budget)."""
         cfg = self.cfg
         k = cfg.dataset.num_classes
         hists = (metrics.zero_hist(k), metrics.zero_hist(k), metrics.zero_hist(k))
