@@ -78,8 +78,11 @@ def wait_for_device(max_wait_s: float = 900, probe_timeout_s: float = 150,
 
 
 def make_examples(cfg, rng, batch):
-    """Synthetic VOC-like val examples (typical sizes, <= 500 per side)."""
+    """Synthetic val examples at dataset-typical sizes (VOC <= 500/side;
+    COCO <= 640)."""
     sizes = [(375, 500), (500, 375), (333, 500), (500, 500)]
+    if cfg.dataset.name == "coco":
+        sizes = [(480, 640), (640, 480), (427, 640), (640, 640)]
     nfg = cfg.dataset.num_classes - 1
     examples = []
     for i in range(batch):
@@ -89,7 +92,8 @@ def make_examples(cfg, rng, batch):
         present[nfg - 1] = True            # 2nd class: typical VOC class count
         examples.append({
             "img_raw": rng.integers(0, 256, (oh, ow, 3)).astype(np.uint8),
-            "label": rng.integers(0, 21, (oh, ow)).astype(np.int32),
+            "label": rng.integers(0, cfg.dataset.num_classes,
+                                  (oh, ow)).astype(np.int32),
             "present_mask": present,
         })
     return examples
@@ -112,17 +116,18 @@ def build_state(cfg, rng, seed=0):
     return params, frozen, clip_params
 
 
-def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3):
-    """Returns (device_imgs_per_sec, end_to_end_imgs_per_sec) per chip."""
+def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3,
+               max_ori=512, with_cam=True):
+    """Returns (device_imgs_per_sec, end_to_end dict) per chip."""
     import jax
     from weclip_tpu.evalx import metrics
     from weclip_tpu.evalx.runner import Evaluator, make_prep
 
     batch = cfg.eval.batch_images
     rng = np.random.default_rng(0)
-    prep = make_prep(cfg, max_ori=512, resize_long=cfg.eval.resize_long)
+    prep = make_prep(cfg, max_ori=max_ori, resize_long=cfg.eval.resize_long)
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
-    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=with_cam, msc=True)
 
     ex_sets = [make_examples(cfg, rng, batch) for _ in range(3)]
     built0 = ev.build_batch(ex_sets[0])
@@ -248,6 +253,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--comer", action="store_true",
                     help="also bench the WeCLIP+ViT-CoMer config")
+    ap.add_argument("--coco", action="store_true",
+                    help="also bench the COCO config (81 classes): seg-only "
+                         "msc-flip val eval @640px (the reference's val "
+                         "short-circuit) + the batch-4 train step")
     ap.add_argument("--batch", type=int, default=0,
                     help="override eval.batch_images (sweep tool)")
     args = ap.parse_args()
@@ -302,6 +311,29 @@ def main():
         print(json.dumps({
             "metric": "voc_comer_train_step",
             "value": round(step_ms, 2), "unit": "ms/step(batch4_crop320)"}))
+
+    if args.coco:
+        from weclip_tpu.core.config import coco_config
+        kcfg = coco_config()
+        if args.batch:
+            import dataclasses
+            kcfg = dataclasses.replace(
+                kcfg, eval=dataclasses.replace(kcfg.eval,
+                                               batch_images=args.batch))
+        kparams, kfrozen, kclip = build_state(kcfg, np.random.default_rng(3))
+        # the reference short-circuits COCO val to seg-only (no CAM/PAR
+        # chain, model_attn_aff_coco.py val path) at 640 max side
+        kdev, ke2e = bench_eval(kcfg, kparams, kfrozen, kclip, policy,
+                                max_ori=640, with_cam=False)
+        print(json.dumps({
+            "metric": "mscflip_coco_val_640px_segonly",
+            "value": round(kdev, 3), "unit": "images/sec/chip",
+            "end_to_end": round(ke2e["best"], 3),
+            "end_to_end_median": round(ke2e["median"], 3)}))
+        kstep_ms = bench_train_step(kcfg, policy)
+        print(json.dumps({
+            "metric": "coco_train_step",
+            "value": round(kstep_ms, 2), "unit": "ms/step(batch4_crop320)"}))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,12 @@ def main():
     ap.add_argument("--out", default="/tmp/xprof_eval")
     ap.add_argument("--top", type=int, default=45)
     ap.add_argument("--comer", action="store_true")
+    ap.add_argument("--coco", action="store_true",
+                    help="COCO config: 81 classes, seg-only val round at "
+                         "640px (the reference's val short-circuit)")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the train step instead of the eval round "
+                         "(composes with --coco/--comer)")
     args = ap.parse_args()
 
     import jax
@@ -34,17 +40,24 @@ def main():
     from bench import build_state, make_examples
 
     cfg = Config()
+    max_ori, with_cam = 512, True
+    if args.coco:
+        from weclip_tpu.core.config import coco_config
+        cfg = coco_config()
+        max_ori, with_cam = 640, False
     if args.comer:
         import dataclasses
         from weclip_tpu.core.config import ComerConfig
         cfg = dataclasses.replace(cfg, comer=ComerConfig(enabled=True))
+    if args.train:
+        return trace_train(cfg, args)
     rng = np.random.default_rng(0)
     policy = precision.make_policy("bfloat16")
     params, frozen, clip_params = build_state(cfg, rng)
     batch = cfg.eval.batch_images
-    prep = make_prep(cfg, max_ori=512, resize_long=cfg.eval.resize_long)
+    prep = make_prep(cfg, max_ori=max_ori, resize_long=cfg.eval.resize_long)
     pe = np.asarray(clip_params["visual"]["positional_embedding"])
-    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=True, msc=True)
+    ev = Evaluator(cfg, prep, pe, policy=policy, with_cam=with_cam, msc=True)
     built = ev.build_batch(make_examples(cfg, rng, batch))
     sb1, sb2, sizes, labels, presents, ci, ca = built
     k = cfg.dataset.num_classes
@@ -75,6 +88,62 @@ def main():
     path = sorted(glob.glob(args.out + "/plugins/profile/*/*.xplane.pb"))[-1]
     print("xplane:", path, flush=True)
     print_op_stats(path, args.top, args.rounds)
+
+
+def trace_train(cfg, args):
+    """Trace `args.rounds` x 6 train steps (bench.bench_train_step setup)."""
+    import glob as _glob
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from weclip_tpu.core import precision as prec
+    from weclip_tpu.core.compaction import compact_classes
+    from weclip_tpu.models import weclip
+    from weclip_tpu.models.clip import vit
+    from weclip_tpu.train import step as step_mod
+    from bench import build_state
+
+    rng = np.random.default_rng(1)
+    policy = prec.make_policy("bfloat16")
+    params, frozen, clip_params = build_state(cfg, rng, seed=1)
+    b = cfg.train.samples_per_gpu
+    crop = cfg.dataset.crop_size
+    g = crop // cfg.clip.patch_size
+    nfg = cfg.dataset.num_classes - 1
+    present = np.zeros((b, nfg), bool)
+    present[:, 0] = present[:, 5] = present[:, nfg - 1] = True
+    batch = weclip.Batch(
+        img=jnp.asarray(rng.standard_normal((b, 3, crop, crop)), jnp.float32),
+        pos_emb=vit.build_pos_emb(clip_params["visual"], g, g)[None],
+        valid=jnp.ones((b, g * g + 1), bool),
+        gh=jnp.full((b,), g, jnp.int32), gw=jnp.full((b,), g, jnp.int32),
+        present_mask=jnp.asarray(present))
+    ci, ca = compact_classes(present, 4)
+
+    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
+    state = step_mod.TrainState(params, tx.init(params), state.step)
+    fn = step_mod.make_train_step(cfg, tx, policy=policy)
+    key = jax.random.PRNGKey(2)
+    state, met = fn(state, frozen, batch, key, jnp.asarray(ci),
+                    jnp.asarray(ca))
+    np.asarray(met.loss)
+    t0 = time.perf_counter()
+    for _ in range(6):
+        state, met = fn(state, frozen, batch, key, jnp.asarray(ci),
+                        jnp.asarray(ca))
+    np.asarray(met.loss)
+    print(f"untraced: {(time.perf_counter()-t0)/6*1000:.2f} ms/step",
+          flush=True)
+    steps = args.rounds * 6
+    with jax.profiler.trace(args.out):
+        for _ in range(steps):
+            state, met = fn(state, frozen, batch, key, jnp.asarray(ci),
+                            jnp.asarray(ca))
+        np.asarray(met.loss)
+    path = sorted(_glob.glob(args.out + "/plugins/profile/*/*.xplane.pb"))[-1]
+    print("xplane:", path, flush=True)
+    print_op_stats(path, args.top, steps)
 
 
 def print_op_stats(path, top=45, rounds=1):

@@ -70,11 +70,16 @@ def stream_pad_len(l: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
-                 n_heads: int, scale: float, score_dtype=jnp.bfloat16):
+                 n_heads: int, scale: float, score_dtype=jnp.bfloat16,
+                 head_axis: int = 2):
     # out_ref may be a narrower dtype than the fp32 accumulator (the store
     # is rounded once — numerically identical to the fp32-store + consumer
-    # astype it replaces, at half the HBM write traffic)
-    h = pl.program_id(2)
+    # astype it replaces, at half the HBM write traffic).
+    # head_axis: which grid axis walks heads — 2 (innermost) on the export
+    # path so the head-mean accumulator block stays resident, 1 on the
+    # no-export path so q-tiles are innermost and the K/V blocks are
+    # fetched once per (b, h) instead of once per (b, h, q_tile).
+    h = pl.program_id(head_axis)
     # bf16 score inputs with fp32 accumulation — matches the XLA path's
     # compute policy (the reference's fp16 inputs are comparable) and runs
     # the MXU at full rate
@@ -185,13 +190,31 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     # additive score bias: 0 for valid keys, -1e30 for masked (see kernel)
     kmask2 = ((kmask.astype(jnp.float32) - 1.0) * 1e30)[:, None, :]
 
-    grid = (b, lp // q_tile, h)
     scale = dh ** -0.5
 
+    if export_weights:
+        # heads INNERMOST: the (b, qt) head-mean accumulator block stays
+        # resident in VMEM across the head sweep
+        grid = (b, lp // q_tile, h)
+        head_axis = 2
+        qkv_idx = lambda bi, qt, hi: (bi, hi, qt, 0)
+        kv_idx = lambda bi, qt, hi: (bi, hi, 0, 0)
+        mask_idx = lambda bi, qt, hi: (bi, 0, 0)
+    else:
+        # q-tiles INNERMOST (no accumulator constraint): the (lp, dh) K/V
+        # blocks' index map is constant along qt, so Mosaic fetches them
+        # once per (b, h) instead of once per (b, h, q_tile) — the kernel
+        # is K/V-DMA-bound at these shapes (L~1k, Dh=64: ~0.65 us of K/V
+        # per step vs ~0.28 us of MXU work), exactly the layout the
+        # rectangular CTI kernel below already uses
+        grid = (b, h, lp // q_tile)
+        head_axis = 1
+        qkv_idx = lambda bi, hi, qt: (bi, hi, qt, 0)
+        kv_idx = lambda bi, hi, qt: (bi, hi, 0, 0)
+        mask_idx = lambda bi, hi, qt: (bi, 0, 0)
+
     out_specs = [
-        pl.BlockSpec((1, 1, q_tile, dh),
-                     lambda bi, qt, hi: (bi, hi, qt, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, q_tile, dh), qkv_idx, memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((b, h, lp, dh), out_dtype)]
     if export_weights:
@@ -202,21 +225,14 @@ def attention_core_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
 
     res = pl.pallas_call(
         functools.partial(_attn_kernel, n_heads=h, scale=scale,
-                          score_dtype=score_dtype),
+                          score_dtype=score_dtype, head_axis=head_axis),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, q_tile, dh),
-                         lambda bi, qt, hi: (bi, hi, qt, 0),
+            pl.BlockSpec((1, 1, q_tile, dh), qkv_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lp, dh),
-                         lambda bi, qt, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lp, dh),
-                         lambda bi, qt, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lp),
-                         lambda bi, qt, hi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp, dh), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp, dh), kv_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lp), mask_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,

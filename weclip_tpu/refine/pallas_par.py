@@ -72,28 +72,39 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
 
     @pl.when(k == 0)
     def _():
-        # source of this iteration: initial masks (it 0) or previous result
-        src = jnp.where(it == 0, m0_ref[0].astype(jnp.float32), out_ref[0])
-        # columns: exact replicate-clamp as a one-hot matmul (cols >= w in
-        # src are garbage accumulation lanes; cmat's zero rows drop them).
-        # cmat ALSO pre-rotates the halo offset d into the lane layout
-        # (pad[j] = src[clamp(j, ...)] with the wrap block at the top end),
-        # so the per-neighbor lane roll amount is -dx alone and the twelve
-        # dx == 0 neighbors skip their roll entirely (exact: lane rolls
-        # compose additively mod wp).
-        cols = jax.lax.dot_general(
-            src, cmat_ref[...], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # (CT, h, WP)
-        ct, _, wp = cols.shape
-        hp = pad_ref.shape[1]
-        # rows: statically 8-aligned sublane broadcasts (d % 8 == 0).  The
-        # concat order [cols, bot, top] pre-rotates the halo offset d into
-        # the sublane layout the same way (pad2[r] = old_pad[(r+d) % hp]),
-        # so the band roll amount is -dy alone and the dy == 0 group copies
-        # without a roll.
-        top = jnp.broadcast_to(cols[:, 0:1, :], (ct, d, wp))
-        bot = jnp.broadcast_to(cols[:, h - 1:h, :], (ct, hp - h - d, wp))
-        pad_ref[...] = jnp.concatenate([cols, bot, top], axis=1)
+        # source of this iteration: initial masks (it 0) or previous
+        # result.  Two predicated branches, not a jnp.where — the where
+        # read BOTH tensors every iteration (one dead (CT, h, W) load).
+        def _repad(src):
+            # columns: exact replicate-clamp as a one-hot matmul (cols >= w
+            # in src are garbage accumulation lanes; cmat's zero rows drop
+            # them).  cmat ALSO pre-rotates the halo offset d into the lane
+            # layout (pad[j] = src[clamp(j, ...)] with the wrap block at
+            # the top end), so the per-neighbor lane roll amount is -dx
+            # alone and the twelve dx == 0 neighbors skip their roll
+            # entirely (exact: lane rolls compose additively mod wp).
+            cols = jax.lax.dot_general(
+                src, cmat_ref[...], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (CT, h, WP)
+            ct, _, wp = cols.shape
+            hp = pad_ref.shape[1]
+            # rows: statically 8-aligned sublane broadcasts (d % 8 == 0).
+            # The concat order [cols, bot, top] pre-rotates the halo offset
+            # d into the sublane layout the same way
+            # (pad2[r] = old_pad[(r+d) % hp]), so the band roll amount is
+            # -dy alone and the dy == 0 group reads pad directly (below).
+            top = jnp.broadcast_to(cols[:, 0:1, :], (ct, d, wp))
+            bot = jnp.broadcast_to(cols[:, h - 1:h, :], (ct, hp - h - d, wp))
+            pad_ref[...] = jnp.concatenate([cols, bot, top], axis=1)
+
+        @pl.when(it == 0)
+        def _():
+            _repad(m0_ref[0].astype(jnp.float32))
+
+        @pl.when(it > 0)
+        def _():
+            _repad(out_ref[0])
+
         last_dy_ref[0] = jnp.int32(-(1 << 30))                # force re-band
 
     dy = dys_ref[k]
@@ -101,19 +112,14 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
 
     # dynamic shifts as rolls (Mosaic cannot prove alignment of dynamic
     # slice offsets; rolls have no such constraint).  Shifts are sorted by
-    # dy and the row-rolled band persists in scratch across k.
-    @pl.when(dy != last_dy_ref[0])
+    # dy and the row-rolled band persists in scratch across k.  The dy == 0
+    # group never touches band scratch at all — its rows are pad[0:h]
+    # as-is (halo pre-rotation), read directly in the accum paths below
+    # (saves one full (CT, h, WP) band copy per iteration).
+    @pl.when((dy != last_dy_ref[0]) & (dy != 0))
     def _():
         hp = pad_ref.shape[1]
-
-        @pl.when(dy == 0)
-        def _():
-            band_ref[...] = pad_ref[:, 0:h, :]
-
-        @pl.when(dy != 0)
-        def _():
-            band_ref[...] = pltpu.roll(pad_ref[...], (-dy) % hp, 1)[:, 0:h, :]
-
+        band_ref[...] = pltpu.roll(pad_ref[...], (-dy) % hp, 1)[:, 0:h, :]
         last_dy_ref[0] = dy
 
     wp = band_ref.shape[2]
@@ -132,11 +138,24 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
 
     @pl.when(dx == 0)
     def _():
-        _accum(band_ref[:, :, 0:w_pad])
+        @pl.when(dy == 0)
+        def _():
+            _accum(pad_ref[:, 0:h, 0:w_pad])
+
+        @pl.when(dy != 0)
+        def _():
+            _accum(band_ref[:, :, 0:w_pad])
 
     @pl.when(dx != 0)
     def _():
-        _accum(pltpu.roll(band_ref[...], (-dx) % wp, 2)[:, :, 0:w_pad])
+        @pl.when(dy == 0)
+        def _():
+            _accum(pltpu.roll(pad_ref[:, 0:h, :], (-dx) % wp, 2)
+                   [:, :, 0:w_pad])
+
+        @pl.when(dy != 0)
+        def _():
+            _accum(pltpu.roll(band_ref[...], (-dx) % wp, 2)[:, :, 0:w_pad])
 
 
 def _pick_c_tile(c: int, max_tile: int = 10) -> int:

@@ -67,14 +67,17 @@ def _masked_ce(logits: jax.Array, label: jax.Array, valid: jax.Array) -> jax.Arr
     semantics: returns 0-safe value when nothing is valid)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)  # (B,K,H,W)
     lab = jnp.clip(label, 0, logits.shape[1] - 1)
-    # per-pixel class pick as a select-sum over the (small) class axis: the
-    # take_along_axis formulation lowers to a ~6 ms/step scalar gather on
-    # TPU (21% of the train step, xprof r3); K vectorized compares are ~free
-    # and differentiate identically (the cotangent scatters to the selected
-    # class either way)
-    nll = jnp.zeros(lab.shape, jnp.float32)
-    for c in range(logits.shape[1]):
-        nll = nll - jnp.where(lab == c, logp[:, c], 0.0)
+    # per-pixel class pick as a one-hot contraction over the class axis:
+    # the take_along_axis formulation lowers to a ~6 ms/step scalar gather
+    # on TPU (21% of the VOC train step, xprof r3), and the r3 K-way
+    # unrolled select-sum scaled badly in the BACKWARD at COCO's K=81
+    # (81 accumulating where-cotangent chains = 5.9 ms/step of add_any,
+    # 20% of the step, xprof r4).  The einsum keeps forward AND backward
+    # as one fused pass each (d logp = -onehot * d nll) and differentiates
+    # identically — the cotangent lands on the selected class either way.
+    k = logits.shape[1]
+    onehot = (lab[:, None] == jnp.arange(k, dtype=lab.dtype)[None, :, None, None])
+    nll = -jnp.einsum("bkhw,bkhw->bhw", onehot.astype(jnp.float32), logp)
     v = valid.astype(jnp.float32)
     return jnp.sum(nll * v) / jnp.maximum(v.sum(), 1.0)
 
