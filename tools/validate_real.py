@@ -125,7 +125,8 @@ def _patch_cuda_to_cpu():
     return torch
 
 
-def stage_agreement(ckpt_path, ref_dir, voc_root=None, image_px=320):
+def stage_agreement(ckpt_path, ref_dir, voc_root=None, image_px=320,
+                    name_list_dir=None):
     """Real-weight version of the fulldim composite golden.
 
     Builds the reference WeCLIP (executed read-only from ``ref_dir``) and
@@ -194,7 +195,8 @@ def stage_agreement(ckpt_path, ref_dir, voc_root=None, image_px=320):
         from weclip_tpu.data.voc import VOCClsDataset
         dcfg = dataclasses.replace(
             DatasetConfig(), root_dir=voc_root,
-            name_list_dir=os.path.join(ref_dir, "datasets", "voc"),
+            name_list_dir=(name_list_dir
+                           or os.path.join(ref_dir, "datasets", "voc")),
             crop_size=image_px)
         ds = VOCClsDataset(dcfg, split="train_aug", seed=0)
         names, imgs, present_rows = [], [], []
@@ -305,7 +307,8 @@ def stage_agreement(ckpt_path, ref_dir, voc_root=None, image_px=320):
 # stages 4+5: train + eval against the paper number
 # --------------------------------------------------------------------------
 
-def _real_cfg(ckpt_path, voc_root, name_list_dir, work_dir=None):
+def _real_cfg(ckpt_path, voc_root, name_list_dir, work_dir=None,
+              selftest=False):
     from weclip_tpu.core.config import Config
     cfg = Config()
     cfg = dataclasses.replace(
@@ -316,14 +319,25 @@ def _real_cfg(ckpt_path, voc_root, name_list_dir, work_dir=None):
     if work_dir:
         cfg = dataclasses.replace(
             cfg, work_dir=dataclasses.replace(cfg.work_dir, dir=work_dir))
+    if selftest:
+        # tiny shapes so the runbook's train/eval stages execute in
+        # seconds on the asset-free box (model dims come from the tiny
+        # checkpoint via build_frozen's shape inference either way)
+        cfg = dataclasses.replace(
+            cfg,
+            dataset=dataclasses.replace(cfg.dataset, crop_size=64),
+            train=dataclasses.replace(cfg.train, samples_per_gpu=2,
+                                      eval_iters=10**9, log_iters=1),
+            par=dataclasses.replace(cfg.par, dilations=(1, 2), num_iter=4))
     return cfg
 
 
 def stage_train(ckpt_path, voc_root, name_list_dir, work_dir,
-                max_iters=None):
+                max_iters=None, selftest=False):
     from weclip_tpu.train.trainer import train
 
-    cfg = _real_cfg(ckpt_path, voc_root, name_list_dir, work_dir)
+    cfg = _real_cfg(ckpt_path, voc_root, name_list_dir, work_dir,
+                    selftest=selftest)
     if max_iters:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, max_iters=max_iters))
@@ -332,7 +346,8 @@ def stage_train(ckpt_path, voc_root, name_list_dir, work_dir,
     return {"ckpt_dir": ckpt_dir, "max_iters": cfg.train.max_iters}
 
 
-def stage_eval(ckpt_path, voc_root, name_list_dir, model_ckpt, crf=False):
+def stage_eval(ckpt_path, voc_root, name_list_dir, model_ckpt, crf=False,
+               selftest=False):
     """msc-flip VOC val (ref test_msc_flip_voc.py protocol) vs the paper
     number.  ``model_ckpt``: the checkpoint DIR stage 4 produced."""
     from weclip_tpu.cli import common
@@ -340,7 +355,7 @@ def stage_eval(ckpt_path, voc_root, name_list_dir, model_ckpt, crf=False):
 
     argv = ["--model_path", model_ckpt] + (["--crf"] if crf else [])
     args = common.eval_parser().parse_args(argv)
-    cfg = _real_cfg(ckpt_path, voc_root, name_list_dir)
+    cfg = _real_cfg(ckpt_path, voc_root, name_list_dir, selftest=selftest)
     scores = run_eval(cfg, args, "voc")
     key = "crf_seg" if crf and "crf_seg" in scores else "msc_seg"
     miou = float(scores[key]["miou"]) * 100.0
@@ -350,6 +365,35 @@ def stage_eval(ckpt_path, voc_root, name_list_dir, model_ckpt, crf=False):
 
 
 # --------------------------------------------------------------------------
+
+def _make_selftest_voc(out_dir):
+    """Tiny synthetic VOC tree (tests/test_cli_e2e.py layout): 32 train /
+    4 val images with class-3 label PNGs + reference-format label blob."""
+    from PIL import Image
+    names = [f"img{i:02d}" for i in range(32)]
+    root = os.path.join(out_dir, "voc")
+    lists = os.path.join(root, "lists")
+    for sub in ("JPEGImages", "SegmentationClassAug", "lists"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    r = np.random.default_rng(0)
+    cls_labels = {}
+    for n in names:
+        Image.fromarray(r.integers(0, 255, (40, 60, 3),
+                                   dtype=np.uint8)).save(
+            os.path.join(root, "JPEGImages", n + ".jpg"))
+        lab = np.zeros((40, 60), np.uint8)
+        lab[5:20, 5:30] = 3
+        Image.fromarray(lab, mode="L").save(
+            os.path.join(root, "SegmentationClassAug", n + ".png"))
+        onehot = np.zeros(20, np.float32)
+        onehot[2] = 1.0                       # class id 3 -> fg index 2
+        cls_labels[n] = onehot
+    np.save(os.path.join(lists, "cls_labels_onehot.npy"), cls_labels)
+    for split, ns in (("train_aug", names), ("val", names[:4])):
+        with open(os.path.join(lists, split + ".txt"), "w") as f:
+            f.write("\n".join(ns))
+    return root, lists
+
 
 def _make_selftest_ckpt(out_dir):
     """Tiny random ViT checkpoint at real context-length/vocab (the BPE
@@ -415,7 +459,18 @@ def main(argv=None):
     result = {"selftest": args.selftest}
     if args.selftest:
         import tempfile
-        args.ckpt = _make_selftest_ckpt(tempfile.mkdtemp(prefix="vr_self_"))
+        tmp = tempfile.mkdtemp(prefix="vr_self_")
+        args.ckpt = _make_selftest_ckpt(tmp)
+        # also exercise the train + eval stages end-to-end on a synthetic
+        # VOC tree (tiny dims; the mIoU-vs-paper check will report
+        # within_budget=false on synthetic data — that is data, not a
+        # stage failure)
+        args.voc_root, args.name_list_dir = _make_selftest_voc(tmp)
+        args.train = True
+        args.iters = args.iters or 2
+        args.work_dir = os.path.join(tmp, "work")
+        if args.image_px == 320:
+            args.image_px = 64
 
     ok = _record(result, "acquire", stage_acquire, args)
     if ok:
@@ -423,7 +478,8 @@ def main(argv=None):
         if _record(result, "zeroshot", lambda: stage_zeroshot(
                 ckpt, expect_vitb16=not args.selftest)[0]):
             _record(result, "agreement", stage_agreement, ckpt, args.ref,
-                    voc_root=args.voc_root, image_px=args.image_px)
+                    voc_root=args.voc_root, image_px=args.image_px,
+                    name_list_dir=args.name_list_dir)
         if args.voc_root:
             name_list_dir = args.name_list_dir or os.path.join(
                 args.ref, "datasets", "voc")
@@ -431,11 +487,12 @@ def main(argv=None):
             if args.train:
                 if _record(result, "train", stage_train, ckpt,
                            args.voc_root, name_list_dir, args.work_dir,
-                           args.iters):
+                           args.iters, selftest=args.selftest):
                     model_ckpt = model_ckpt or result["train"]["ckpt_dir"]
             if model_ckpt:
                 _record(result, "eval", stage_eval, ckpt, args.voc_root,
-                        name_list_dir, model_ckpt, crf=args.crf)
+                        name_list_dir, model_ckpt, crf=args.crf,
+                        selftest=args.selftest)
             else:
                 result["eval"] = {"status": "skipped",
                                   "reason": "no trained checkpoint "

@@ -147,9 +147,17 @@ def _pick_q_tile(l: int) -> int:
     best, best_qt = None, 128
     for qt in sorted(_q_tile_candidates(l)):
         lp = _round_up(l, qt)
+        # (600k admitting 2 tiles of 528 at L=1025 measured neutral vs 3 of
+        # 352 — 53.88 vs 53.89 — so the cap stays at the r3 calibration)
         if qt * lp > 500_000:
             continue
-        key = (lp, -qt)
+        # tile COUNT first: on the export path (h innermost) the (lp, dh)
+        # K/V blocks are re-fetched once per q-tile, and with bf16 K/V the
+        # kernel is near DMA-bound (~0.32 us K/V vs ~0.47 us/step at
+        # L=1040) — 3 tiles of 352 (lp 1056, +1.5% padded rows) beats 5
+        # of 208 (lp 1040) by 40% of that traffic.  Padding stays the
+        # tiebreaker within equal counts.
+        key = (lp // qt, lp, -qt)
         if best is None or key < best:
             best, best_qt = key, qt
     return best_qt
