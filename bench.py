@@ -22,6 +22,8 @@ host-bound (PARITY.md "host data pipeline"); production v5e hosts
 --comer: additionally measures the WeCLIP+ViT-CoMer config
 (configs/voc_comer.yaml, BASELINE.json configs[3]): msc-flip eval rate and
 the batch-4/crop-320 train-step time, printed as extra JSON lines.
+--coco: the COCO config (BASELINE.json configs[2]): seg-only msc-flip val
+eval @640px (the reference's val short-circuit) + the train step.
 
 Baseline: the reference publishes no throughput anywhere (BASELINE.md).
 A100_EST_IMGS_PER_SEC is derived from a timed run of the actual reference
