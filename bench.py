@@ -208,11 +208,15 @@ def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3,
              "band": (e2e_rates[0], e2e_rates[-1])})
 
 
-def bench_train_step(cfg, policy, steps=8, windows=3):
-    """Train-step ms at the reference batch-4/crop-320 setup."""
+def build_train_fixture(cfg, policy):
+    """Shared train-step fixture at the reference batch-4/crop-320 setup.
+
+    Used by both the benchmark windows below and tools/profile_eval.py's
+    trace_train so the profiler provably traces the same computation the
+    benchmark times.  Returns ``(fn, state, frozen, batch, key, ci, ca)``
+    with one warm-up/compile call already executed."""
     import jax
     import jax.numpy as jnp
-    from weclip_tpu.core import precision as prec
     from weclip_tpu.models import weclip
     from weclip_tpu.models.clip import vit
     from weclip_tpu.train import step as step_mod
@@ -233,19 +237,25 @@ def bench_train_step(cfg, policy, steps=8, windows=3):
         present_mask=jnp.asarray(present))
     from weclip_tpu.core.compaction import compact_classes
     ci, ca = compact_classes(present, 4)
+    ci, ca = jnp.asarray(ci), jnp.asarray(ca)
 
     state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
     state = step_mod.TrainState(params, tx.init(params), state.step)
     fn = step_mod.make_train_step(cfg, tx, policy=policy)
     key = jax.random.PRNGKey(2)
-    state, met = fn(state, frozen, batch, key, jnp.asarray(ci), jnp.asarray(ca))
+    state, met = fn(state, frozen, batch, key, ci, ca)
     np.asarray(met.loss)                      # compile + barrier
+    return fn, state, frozen, batch, key, ci, ca
+
+
+def bench_train_step(cfg, policy, steps=8, windows=3):
+    """Train-step ms at the reference batch-4/crop-320 setup."""
+    fn, state, frozen, batch, key, ci, ca = build_train_fixture(cfg, policy)
     dt = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, met = fn(state, frozen, batch, key,
-                            jnp.asarray(ci), jnp.asarray(ca))
+            state, met = fn(state, frozen, batch, key, ci, ca)
         np.asarray(met.loss)
         dt = min(dt, time.perf_counter() - t0)
     return dt / steps * 1000.0
@@ -331,7 +341,9 @@ def main():
             "metric": "mscflip_coco_val_640px_segonly",
             "value": round(kdev, 3), "unit": "images/sec/chip",
             "end_to_end": round(ke2e["best"], 3),
-            "end_to_end_median": round(ke2e["median"], 3)}))
+            "end_to_end_median": round(ke2e["median"], 3),
+            "end_to_end_band": [round(ke2e["band"][0], 3),
+                                round(ke2e["band"][1], 3)]}))
         kstep_ms = bench_train_step(kcfg, policy)
         print(json.dumps({
             "metric": "coco_train_step",

@@ -19,8 +19,12 @@ def _params(rng, d):
         jnp.asarray(rng.standard_normal((d,)).astype(np.float32) * 0.1))
 
 
+@pytest.mark.parametrize("want_weights", [True, False])
 @pytest.mark.parametrize("l,lv", [(128, 128), (160, 130)])
-def test_pallas_attention_matches_xla(rng, l, lv):
+def test_pallas_attention_matches_xla(rng, l, lv, want_weights):
+    # want_weights=False drives the no-export grid (grid=(b, h, q_tiles),
+    # head axis in the grid, swapped index maps) — a DIFFERENT kernel
+    # layout from the export path, so both need a regression net here.
     b, d, h = 2, 32, 4
     x = rng.standard_normal((b, l, d)).astype(np.float32)
     x[:, lv:] = 0.0
@@ -34,11 +38,15 @@ def test_pallas_attention_matches_xla(rng, l, lv):
     pal_out, pal_attn = mha_with_weights_pallas(jnp.asarray(x), p, h,
                                                 valid=jnp.asarray(valid),
                                                 policy=precision.FP32,
-                                                interpret=True)
+                                                interpret=True,
+                                                want_weights=want_weights)
     np.testing.assert_allclose(np.asarray(pal_out), np.asarray(ref_out),
                                rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(pal_attn), np.asarray(ref_attn),
-                               rtol=2e-5, atol=2e-5)
+    if want_weights:
+        np.testing.assert_allclose(np.asarray(pal_attn), np.asarray(ref_attn),
+                                   rtol=2e-5, atol=2e-5)
+    else:
+        assert pal_attn is None
 
 
 def test_cross_attention_core_matches_xla():

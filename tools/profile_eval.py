@@ -91,55 +91,27 @@ def main():
 
 
 def trace_train(cfg, args):
-    """Trace `args.rounds` x 6 train steps (bench.bench_train_step setup)."""
+    """Trace `args.rounds` x 6 train steps (bench.build_train_fixture — the
+    SAME fixture the benchmark times, so trace == bench computation)."""
     import glob as _glob
     import time
 
     import jax
-    import jax.numpy as jnp
     from weclip_tpu.core import precision as prec
-    from weclip_tpu.core.compaction import compact_classes
-    from weclip_tpu.models import weclip
-    from weclip_tpu.models.clip import vit
-    from weclip_tpu.train import step as step_mod
-    from bench import build_state
+    from bench import build_train_fixture
 
-    rng = np.random.default_rng(1)
     policy = prec.make_policy("bfloat16")
-    params, frozen, clip_params = build_state(cfg, rng, seed=1)
-    b = cfg.train.samples_per_gpu
-    crop = cfg.dataset.crop_size
-    g = crop // cfg.clip.patch_size
-    nfg = cfg.dataset.num_classes - 1
-    present = np.zeros((b, nfg), bool)
-    present[:, 0] = present[:, 5] = present[:, nfg - 1] = True
-    batch = weclip.Batch(
-        img=jnp.asarray(rng.standard_normal((b, 3, crop, crop)), jnp.float32),
-        pos_emb=vit.build_pos_emb(clip_params["visual"], g, g)[None],
-        valid=jnp.ones((b, g * g + 1), bool),
-        gh=jnp.full((b,), g, jnp.int32), gw=jnp.full((b,), g, jnp.int32),
-        present_mask=jnp.asarray(present))
-    ci, ca = compact_classes(present, 4)
-
-    state, tx = step_mod.create_train_state(jax.random.PRNGKey(0), cfg)
-    state = step_mod.TrainState(params, tx.init(params), state.step)
-    fn = step_mod.make_train_step(cfg, tx, policy=policy)
-    key = jax.random.PRNGKey(2)
-    state, met = fn(state, frozen, batch, key, jnp.asarray(ci),
-                    jnp.asarray(ca))
-    np.asarray(met.loss)
+    fn, state, frozen, batch, key, ci, ca = build_train_fixture(cfg, policy)
     t0 = time.perf_counter()
     for _ in range(6):
-        state, met = fn(state, frozen, batch, key, jnp.asarray(ci),
-                        jnp.asarray(ca))
+        state, met = fn(state, frozen, batch, key, ci, ca)
     np.asarray(met.loss)
     print(f"untraced: {(time.perf_counter()-t0)/6*1000:.2f} ms/step",
           flush=True)
     steps = args.rounds * 6
     with jax.profiler.trace(args.out):
         for _ in range(steps):
-            state, met = fn(state, frozen, batch, key, jnp.asarray(ci),
-                            jnp.asarray(ca))
+            state, met = fn(state, frozen, batch, key, ci, ca)
         np.asarray(met.loss)
     path = sorted(_glob.glob(args.out + "/plugins/profile/*/*.xplane.pb"))[-1]
     print("xplane:", path, flush=True)

@@ -149,7 +149,7 @@ def stage_agreement(ckpt_path, ref_dir, voc_root=None, image_px=320,
     from PIL import Image
 
     from weclip_tpu.core import precision
-    from weclip_tpu.core.compaction import compact_classes
+    from weclip_tpu.core.compaction import compact_classes, pick_bucket
     from weclip_tpu.core.config import ClipConfig, Config
     from weclip_tpu.models import weclip
     from weclip_tpu.models.clip import vit
@@ -265,10 +265,16 @@ def stage_agreement(ckpt_path, ref_dir, voc_root=None, image_px=320,
 
     g = image_px // 16
     out_rows = {}
+    # same class-bucket policy as the trainer (train/trainer.py) so a
+    # 3+-foreground-class VOC image keeps ALL its classes: a fixed bucket
+    # of 2 would truncate the class set on our side while the executed
+    # reference computes CAMs for every present class, reporting a
+    # spurious pseudo-label mismatch that is harness, not model.
+    mc = pick_bucket(present, (4, 8, 16, 20))
+    ci, ca = compact_classes(present, mc)
     for pol_name in ("fp32", "bf16"):
         policy = (precision.FP32 if pol_name == "fp32"
                   else precision.make_policy("bfloat16"))
-        ci, ca = compact_classes(present, 2)
         pe = vit.build_pos_emb(frozen["visual"], g, g)[None]
         batch = weclip.Batch(
             img=jnp.asarray(imgs), pos_emb=pe,

@@ -134,10 +134,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
 
 
 def _pick_q_tile(l: int) -> int:
-    """Pick the query tile minimizing (padded length, -tile): row padding is
-    wasted score/softmax work, and larger tiles amortize the per-grid-step
-    K/V re-fetch (measured differences are small — 6.7-8.7 ms across
-    128..512 at B16/L1025 on v5e — so padding is the tiebreaker).
+    """Pick the query tile minimizing (tile_count, padded_length, -tile):
+    fewer q-tiles means fewer per-tile K/V re-fetches (the dominant DMA
+    cost on the export path — see the inline comment), padded rows are
+    wasted score/softmax work (secondary), and the largest tile wins ties
+    (measured differences within a count/padding class are small —
+    6.7-8.7 ms across 128..512 at B16/L1025 on v5e).
 
     Candidates come from _q_tile_candidates (divisor tiles give e.g. 10%
     fewer softmax rows and ~18% fewer exported-map cells at L=1025; the

@@ -56,10 +56,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    Multi-process: each process passes ITS OWN disjoint rows of the global
+    batch (the PrefetchLoader per-host shards) and the global array is
+    assembled from the process-local shards
+    (``jax.make_array_from_process_local_data`` — plain ``device_put``
+    would require identical values on every host and only consume each
+    host's addressable slice).  Single-process keeps the direct
+    ``device_put`` fast path, byte-identical behavior."""
+    multiproc = jax.process_count() > 1
+
     def _put(x):
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        sh = batch_sharding(mesh, x.ndim)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
     return jax.tree_util.tree_map(_put, tree)
 
 

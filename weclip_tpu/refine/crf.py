@@ -143,7 +143,7 @@ _DENSE_BILATERAL_MAX_POINTS = 4096
 
 @partial(__import__("jax").jit, static_argnames=("cfg", "bi_stride",
                                                   "dense_max_points"))
-def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8,
+def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 4,
                        dense_max_points: int = _DENSE_BILATERAL_MAX_POINTS):
     """On-device mean field. probs: (C,H,W); image: (3,H,W) float 0..255.
 
@@ -152,8 +152,9 @@ def mean_field_crf_jax(probs, image, cfg: CrfConfig, bi_stride: int = 8,
     set, sliced back bilinearly — a controlled approximation of the full
     5-D kernel.  Two evaluation strategies, picked by subsampled size:
 
-    - **dense** (<= ``dense_max_points``, default 4096 — the default
-      stride 8 at 512px; callers that serialize over the batch may raise
+    - **dense** (<= ``dense_max_points``, default 4096 — stride 8 at
+      512px; the default stride 4 lands on the windowed path there.
+      Callers that serialize over the batch may raise
       it, the kernel matrix is N^2 * 4 bytes): the
       full untruncated pairwise kernel as one (N, N) matrix built from a
       Gram matmul over the 5-D features (exp(-0.5 ||f_p - f_q||^2), no

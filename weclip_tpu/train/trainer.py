@@ -65,14 +65,21 @@ def build_frozen(cfg: Config, rng_seed: int = 0):
 
 def make_device_batch(host_batch: Dict[str, np.ndarray], pos_emb, valid,
                       grid: int, mesh) -> weclip.Batch:
-    b = host_batch["img"].shape[0]
+    # host_batch holds this process's LOCAL rows; the jitted program sees
+    # the GLOBAL batch (shard_batch assembles it across processes).  gh/gw
+    # are per-example, so they ride the same batch sharding — building
+    # them at global size with jnp.full would hand a host-local array to
+    # the global-mesh jit under multi-process.
+    lb = host_batch["img"].shape[0]
     dev = meshlib.shard_batch(mesh, {
         "img": host_batch["img"],
         "present_mask": host_batch["present_mask"],
+        "gh": np.full((lb,), grid, np.int32),
+        "gw": np.full((lb,), grid, np.int32),
     })
     return weclip.Batch(
         img=dev["img"], pos_emb=pos_emb, valid=valid,
-        gh=jnp.full((b,), grid, jnp.int32), gw=jnp.full((b,), grid, jnp.int32),
+        gh=dev["gh"], gw=dev["gw"],
         present_mask=dev["present_mask"])
 
 
@@ -106,12 +113,15 @@ def train(cfg: Config, resume: bool = False,
              global_batch, cfg.train.samples_per_gpu, n_data)
     from weclip_tpu.data.loader import PrefetchLoader
     # multi-host slices: each host feeds its own disjoint shard of every
-    # epoch (SURVEY §2.10); single-host (process_count()==1) is unchanged.
-    # global_batch stays the PER-HOST batch — each host's chips consume
-    # what its own loader produces.
-    loader = PrefetchLoader(dataset, global_batch, seed=cfg.train.seed,
+    # epoch (SURVEY §2.10) at the PER-HOST batch size global_batch / P;
+    # mesh.shard_batch assembles the global batch from the process-local
+    # shards.  Single-host (P == 1) is byte-identical to before.
+    n_proc = jax.process_count()
+    assert global_batch % n_proc == 0, (global_batch, n_proc)
+    loader = PrefetchLoader(dataset, global_batch // n_proc,
+                            seed=cfg.train.seed,
                             process_index=jax.process_index(),
-                            process_count=jax.process_count())
+                            process_count=n_proc)
 
     state, tx = step_mod.create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     ckpt_dir = os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir)
@@ -130,10 +140,14 @@ def train(cfg: Config, resume: bool = False,
     pos_emb = meshlib.replicate(
         mesh, np.asarray(vit.build_pos_emb(clip_params["visual"], grid, grid))[None])
     l = grid * grid + 1
-    valid = jnp.ones((global_batch, l), bool)
-    valid = jax.device_put(valid, meshlib.batch_sharding(mesh, 2))
+    # host numpy (identical on every process) -> batch-sharded global array;
+    # per-process slices are constant so no per-host assembly is needed
+    valid = jax.device_put(np.ones((global_batch, l), bool),
+                           meshlib.batch_sharding(mesh, 2))
 
-    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    # replicate over the global mesh: a bare PRNGKey is committed to local
+    # device 0, which other processes cannot address under multi-host jit
+    rng = meshlib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
     total = max_steps or cfg.train.max_iters
     t_start = time.time()
     t_window = time.time()
@@ -165,10 +179,21 @@ def train(cfg: Config, resume: bool = False,
         from weclip_tpu.core.compaction import compact_classes, pick_bucket
         mc = pick_bucket(host_batch["present_mask"], (4, 8, 16,
                                                       cfg.dataset.num_classes - 1))
+        if jax.process_count() > 1:
+            # the bucket is data-dependent on the LOCAL shard; hosts must
+            # agree on one static size or their compiled programs diverge
+            # (multi-host jit requires identical programs).  Max over
+            # hosts = smallest bucket safe for every shard.
+            from jax.experimental import multihost_utils
+            mc = int(np.max(multihost_utils.process_allgather(
+                np.asarray(mc, np.int32))))
         ci, ca = compact_classes(host_batch["present_mask"], mc)
         dev_c = meshlib.shard_batch(mesh, {"ci": ci, "ca": ca})
+        # numpy scalar (not jnp): uncommitted inputs are treated as
+        # replicated by jit on a multi-process mesh; a jnp array would be
+        # committed to local device 0 only
         state, m = step_fn(state, frozen, batch, rng, dev_c["ci"], dev_c["ca"],
-                           jnp.asarray(val_forward_calls, jnp.int32))
+                           np.asarray(val_forward_calls, np.int32))
         msum = m if msum is None else jax.tree_util.tree_map(jnp.add, msum, m)
         n_in_window += 1
         if profile_steps and n_iter == profile_steps[1]:
