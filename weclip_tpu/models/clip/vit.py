@@ -296,14 +296,14 @@ def vision_forward_frozen(
         return x, ((x, attn_w) if with_attn else (x,))
 
     if with_attn:
-        _, (xs, attns) = jax.lax.scan(body, x, frozen)
+        _, (xs, attns) = jax.lax.scan(body, x, frozen, unroll=True)
         # NOTE: no keep_attn slicing here — every fusion consumer takes a
         # *tail* of this stack, and slicing it standalone materialized a
         # 7/11 copy (~2.3 ms/round at eval shapes) that XLA fuses for free
         # when the tail is taken at the consumption site.
         attns = jax.lax.stop_gradient(attns)
     else:
-        _, (xs,) = jax.lax.scan(body, x, frozen)
+        _, (xs,) = jax.lax.scan(body, x, frozen, unroll=True)
         l = x.shape[1]
         attns = jnp.zeros((0, b, l, l), jnp.float32)
     xs = jax.lax.stop_gradient(xs)
