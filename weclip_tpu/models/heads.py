@@ -162,15 +162,35 @@ def decoder_forward(p: Params, fts: jax.Array, n_heads: int = 8,
     SURVEY appendix), so eval skips materializing the (B, H, P, P) score
     tensors; the returned stack is then zero-length."""
     x = fts
+    pp = fts.shape[1]
+    valid = valid_p
+    if allow_pallas:
+        # align the stream ONCE to the attention kernel's preferred padded
+        # length (same contract as vit.vision_forward_frozen): the
+        # tile-count-first q-tile pick means e.g. P=1024 -> lp=1056, and
+        # without this every one of the 3 blocks pays its own q/k/v pad +
+        # output slice inside the kernel wrapper (~2 ms/round of HBM glue
+        # in the round-4 trace).  The pad rows are masked-invalid tokens;
+        # their garbage outputs are sliced off before the prediction head.
+        from weclip_tpu.ops.pallas_attention import stream_pad_len
+        ls = stream_pad_len(pp)
+        if ls != pp:
+            x = jnp.pad(x, [(0, 0), (0, ls - pp), (0, 0)])
+            if valid is None:
+                valid = jnp.arange(ls)[None, :] < pp
+            else:
+                valid = jnp.pad(valid.astype(bool),
+                                [(0, 0), (0, ls - pp)])
 
     def body(x, bp):
-        x, attn_w, _ = vit.block_forward(bp, x, n_heads, valid=valid_p,
+        x, attn_w, _ = vit.block_forward(bp, x, n_heads, valid=valid,
                                          policy=policy,
                                          allow_pallas=allow_pallas,
                                          want_attn=not allow_pallas)
         return x, ((attn_w,) if not allow_pallas else ())
 
     x, attns = jax.lax.scan(body, x, p["blocks"])
+    x = x[:, :pp]
     attns = (attns[0] if not allow_pallas
              else jnp.zeros((0,) + fts.shape[:2] + (fts.shape[1],),
                             jnp.float32))
