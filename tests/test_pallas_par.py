@@ -55,3 +55,26 @@ def test_bf16_speed_mode_close():
                                        compute_dtype=jnp.bfloat16))
     assert np.abs(b16 - ref).max() < 0.05
     assert (b16.argmax(1) == ref.argmax(1)).mean() > 0.97
+
+
+def test_pallas_affinity_builder_matches_xla(rng):
+    """The fused affinity-builder kernel vs refine.par.par_affinity: same
+    shift order, moments, softmax, and positional add (sequential softmax
+    sum vs XLA's reduction tree is the only divergence — fp32 noise)."""
+    from weclip_tpu.refine.par import _OFFSETS, par_affinity
+    from weclip_tpu.refine.pallas_par import _round_up, par_affinity_pallas
+
+    for (b, h, w, dil) in [(2, 64, 64, (1, 2)),
+                           (1, 64, 96, (1, 2, 4, 8, 12, 24)),
+                           (2, 32, 40, (1, 3))]:
+        cfg = ParConfig(dilations=dil)
+        imgs = jnp.asarray(rng.standard_normal((b, 3, h, w)), jnp.float32)
+        base = [(dy * dd, dx * dd) for dd in dil for (dy, dx) in _OFFSETS]
+        perm = tuple(sorted(range(len(base)), key=lambda i: base[i]))
+        ref = np.asarray(par_affinity(imgs, cfg, order=perm))
+        got = np.asarray(par_affinity_pallas(
+            imgs, cfg, order=perm, w_out=_round_up(w, 128),
+            interpret=True))
+        # lane-pad columns (>= w) are finite garbage by contract
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got[..., :w], ref, rtol=2e-5, atol=2e-5)

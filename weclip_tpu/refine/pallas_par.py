@@ -158,6 +158,120 @@ def _fused_kernel(dys_ref, dxs_ref, m0_ref, aff_ref, cmat_ref, out_ref,
             _accum(pltpu.roll(band_ref[...], (-dx) % wp, 2)[:, :, 0:w_pad])
 
 
+def _aff_kernel(posw_ref, img_ref, out_ref, scr_ref, *,
+                shifts, d: int, h_t: int, wc: int, n: int, w1: float):
+    """Affinity-builder block: one (batch, row-tile) of (K, h_t, wc).
+
+    All 48 shifts are STATIC here (python-unrolled slices of the
+    edge-padded image tile in scratch) — unlike the propagation kernel
+    above, whose shifts vary per grid step and need dynamic rolls.  The
+    accumulation order, op sequence, and scalar constants mirror
+    refine.par.par_affinity line by line so the two paths agree to fp32
+    reduction-order noise (the only divergence: the softmax sum over K
+    is sequential here vs XLA's reduction tree).
+    """
+    ti = pl.program_id(1)
+    # dynamic-but-8-aligned row window (h_t % 8 == 0); static unaligned
+    # slices below are fine for Mosaic, dynamic unaligned ones are not
+    scr_ref[...] = img_ref[0, :, pl.ds(ti * h_t, h_t + 2 * d), :]
+
+    def sl(dy: int, dx: int) -> jax.Array:
+        return scr_ref[:, d + dy:d + dy + h_t, d + dx:d + dx + wc]
+
+    img0 = sl(0, 0)
+    # one-pass moments, accumulated in list order like sum(shifted)
+    s1 = sl(*shifts[0])
+    s2 = s1 * s1
+    for (dy, dx) in shifts[1:]:
+        sh = sl(dy, dx)
+        s1 = s1 + sh
+        s2 = s2 + sh * sh
+    mean = s1 / n
+    var = jnp.maximum((s2 - n * mean * mean) / (n - 1), 0.0)
+    inv = 1.0 / ((jnp.sqrt(var) + 1e-8) * w1)
+
+    # logits into the (revisited) output block, tracking the running max
+    m = None
+    for k, (dy, dx) in enumerate(shifts):
+        x = jnp.abs(sl(dy, dx) - img0) * inv
+        logit = jnp.mean(-(x * x), axis=0)
+        out_ref[0, k] = logit
+        m = logit if m is None else jnp.maximum(m, logit)
+
+    ssum = None
+    for k in range(n):
+        e = jnp.exp(out_ref[0, k] - m)
+        out_ref[0, k] = e
+        ssum = e if ssum is None else ssum + e
+    for k in range(n):
+        out_ref[0, k] = out_ref[0, k] / ssum + posw_ref[k]
+
+
+def par_affinity_pallas(imgs: jax.Array, cfg: ParConfig,
+                        order: tuple, w_out: int,
+                        interpret: bool = False) -> jax.Array:
+    """Fused (B, K, H, w_out) PAR mixing weights (refine.par.par_affinity
+    semantics, PAR.py:41-62) in ONE pallas launch.
+
+    The XLA formulation is HBM-bound at ~6 GB of traffic (48 shifted
+    streams into the 400 MB logit stack, then 5+ full softmax/add passes
+    over it — ~10.9 ms/call at the eval shape); here the image tile stays
+    in VMEM, the shifts are register slices, and the affinity is written
+    exactly once.  ``w_out`` (>= W, lane-aligned) sizes the output lane
+    dim directly to what the propagation kernel streams — columns >= W
+    hold finite garbage that the clamp re-pad keeps out of valid outputs,
+    exactly like the zero-pad they replace.
+    """
+    b, _, h, w = imgs.shape
+    dil = cfg.dilations
+    base_shifts = [(dy * dd, dx * dd) for dd in dil for (dy, dx) in _OFFSETS]
+    shifts = [base_shifts[i] for i in order]
+    n = len(shifts)
+    d = max(dil)
+
+    # positional term: numerically identical to par_affinity's (numpy f32
+    # through jax softmax), shipped as scalar-prefetch so the broadcast
+    # add rides the single output write instead of its own 800 MB pass
+    from weclip_tpu.refine.par import _pos_kernel
+    pos = _pos_kernel(dil)[list(order)]
+    pos_std = float(np.std(pos, ddof=1))
+    pos_aff = jax.nn.softmax(jnp.asarray(-((pos / (pos_std + 1e-8)
+                                            / cfg.w1) ** 2)))
+    posw = (cfg.w2 * pos_aff).astype(jnp.float32)
+
+    hp = h + 2 * d
+    wp = _round_up(w_out + 2 * d, _LANE)
+    x = imgs.astype(jnp.float32)
+    x = jnp.pad(x, [(0, 0), (0, 0), (d, d), (d, d)], mode="edge")
+    if wp != w + 2 * d:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, wp - (w + 2 * d))])
+
+    h_t = next(t for t in (64, 32, 16, 8) if h % t == 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h // h_t),
+        in_specs=[
+            pl.BlockSpec((1, 3, hp, wp),
+                         lambda bi, ti, posw: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, h_t, w_out),
+                               lambda bi, ti, posw: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, h_t + 2 * d, wp), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_aff_kernel, shifts=shifts, d=d, h_t=h_t,
+                          wc=w_out, n=n, w1=cfg.w1),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, h, w_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(posw, x)
+
+
 def _pick_c_tile(c: int, max_tile: int = 10) -> int:
     """Pick the channel tile that minimizes (#tiles, padded channels):
     each extra tile re-streams the whole affinity tensor from HBM, and
@@ -216,8 +330,6 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
                    for dil in cfg.dilations for (dy, dx) in _OFFSETS]
     perm = sorted(range(len(base_shifts)), key=lambda i: base_shifts[i])
     shifts = [base_shifts[i] for i in perm]
-    aff = par_affinity(imgs.astype(jnp.float32), cfg,
-                       order=tuple(perm))                     # (B, K, H, W)
     n_k = len(shifts)
     dys = jnp.asarray([s[0] for s in shifts], jnp.int32)
     dxs = jnp.asarray([s[1] for s in shifts], jnp.int32)
@@ -232,8 +344,10 @@ def par_refine_pallas(imgs: jax.Array, masks: jax.Array, cfg: ParConfig,
     # sublane roll needs an 8-aligned extent; rolling by (d+dy) <= 2d never
     # wraps past h+2d, so the 8-alignment pad rows are semantics-free
     hp = _round_up(h + 2 * d, 8)
-    if aff.shape[-1] != w_pad:
-        aff = jnp.pad(aff, [(0, 0), (0, 0), (0, 0), (0, w_pad - w)])
+    # fused builder emits the lane-padded (B, K, H, w_pad) layout the
+    # propagation grid streams — no XLA logit stack, no post-pad pass
+    aff = par_affinity_pallas(imgs, cfg, order=tuple(perm), w_out=w_pad,
+                              interpret=interpret)
     aff = aff.astype(compute_dtype)
     if w_pad != w:
         # explicit zero columns: block cells outside the array are undefined
