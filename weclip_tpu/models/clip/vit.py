@@ -281,26 +281,38 @@ def vision_forward_frozen(
 
     def body(x, bp):
         # frozen region: the fused Pallas attention is safe here (no VJP)
-        if with_attn and k < b:
-            x1, attn_w, _ = block_forward(bp, x[:k], cfg.vision_heads,
-                                          valid=valid[:k], policy=policy,
-                                          allow_pallas=True, want_attn=True)
-            x2, _, _ = block_forward(bp, x[k:], cfg.vision_heads,
-                                     valid=valid[k:], policy=policy,
-                                     allow_pallas=True, want_attn=False)
-            x = jnp.concatenate([x1, x2], axis=0)
-        else:
-            x, attn_w, _ = block_forward(bp, x, cfg.vision_heads, valid=valid,
-                                         policy=policy, allow_pallas=True,
-                                         want_attn=with_attn)
+        x, attn_w, _ = block_forward(bp, x, cfg.vision_heads, valid=valid,
+                                     policy=policy, allow_pallas=True,
+                                     want_attn=with_attn)
         return x, ((x, attn_w) if with_attn else (x,))
 
-    if with_attn:
-        _, (xs, attns) = jax.lax.scan(body, x, frozen, unroll=True)
+    if with_attn and k < b:
+        # flip-half export skip: the halves are carried SEPARATELY — one
+        # batch split before the loop and one merge after, instead of the
+        # per-layer x[:k]/x[k:] slices + (B, L, D) concat a single scan
+        # carry forced (the unrolled loop needs no joint carry).  Ops per
+        # half are identical, so outputs are bit-equal to the old path.
+        x1, x2, v1, v2 = x[:k], x[k:], valid[:k], valid[k:]
+        xs1, xs2, attn_l = [], [], []
+        for i in range(n_frozen):
+            bp = jax.tree_util.tree_map(lambda a: a[i], frozen)
+            x1, attn_w, _ = block_forward(bp, x1, cfg.vision_heads, valid=v1,
+                                          policy=policy, allow_pallas=True,
+                                          want_attn=True)
+            x2, _, _ = block_forward(bp, x2, cfg.vision_heads, valid=v2,
+                                     policy=policy, allow_pallas=True,
+                                     want_attn=False)
+            xs1.append(x1)
+            xs2.append(x2)
+            attn_l.append(attn_w)
+        xs = jnp.concatenate([jnp.stack(xs1), jnp.stack(xs2)], axis=1)
         # NOTE: no keep_attn slicing here — every fusion consumer takes a
         # *tail* of this stack, and slicing it standalone materialized a
         # 7/11 copy (~2.3 ms/round at eval shapes) that XLA fuses for free
         # when the tail is taken at the consumption site.
+        attns = jax.lax.stop_gradient(jnp.stack(attn_l))
+    elif with_attn:
+        _, (xs, attns) = jax.lax.scan(body, x, frozen, unroll=True)
         attns = jax.lax.stop_gradient(attns)
     else:
         _, (xs,) = jax.lax.scan(body, x, frozen, unroll=True)
