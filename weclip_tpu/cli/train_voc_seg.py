@@ -56,10 +56,18 @@ def main():
     frozen = meshlib.shard_model(mesh, frozen)
 
     ds = VOCSegTrainDataset(cfg.dataset, cfg.train.split)
-    # samples_per_gpu is per-chip; global batch scales with the data mesh
+    # samples_per_gpu is per-chip; global batch scales with the data mesh.
+    # Multi-host: the loader draws this process's b/P shard and
+    # mesh.shard_batch assembles the global batch (same contract as
+    # train/trainer.py) — a full-global-size loader here would leave
+    # (P-1)/P of every epoch unconsumed.
     n_data = mesh.shape[mesh.axis_names[0]]
     b = cfg.train.samples_per_gpu * n_data
-    loader = PrefetchLoader(ds, b, seed=cfg.train.seed)
+    n_proc = jax.process_count()
+    assert b % n_proc == 0, (b, n_proc)
+    loader = PrefetchLoader(ds, b // n_proc, seed=cfg.train.seed,
+                            process_index=jax.process_index(),
+                            process_count=n_proc)
     state, tx = create_seg_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     step_fn = make_seg_train_step(cfg, tx, policy)
 
@@ -67,8 +75,11 @@ def main():
     pos_emb = meshlib.replicate(
         mesh, np.asarray(vit.build_pos_emb(clip_params["visual"], grid, grid))[None])
     l = grid * grid + 1
-    valid = jax.device_put(jnp.ones((b, l), bool), meshlib.batch_sharding(mesh, 2))
-    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    # numpy source + replicated rng: multi-process-safe inputs (see
+    # train/trainer.py for the full rationale)
+    valid = jax.device_put(np.ones((b, l), bool),
+                           meshlib.batch_sharding(mesh, 2))
+    rng = meshlib.replicate(mesh, jax.random.PRNGKey(cfg.train.seed + 1))
 
     import os
     ckpt_dir = os.path.join(cfg.work_dir.dir, cfg.work_dir.ckpt_dir)
@@ -85,11 +96,17 @@ def main():
     it = iter(loader)
     for n_iter in range(start_step, cfg.train.max_iters):
         hb = next(it)
-        dev = meshlib.shard_batch(mesh, {"img": hb["img"], "label": hb["label"]})
+        lb = hb["img"].shape[0]
+        dev = meshlib.shard_batch(mesh, {
+            "img": hb["img"], "label": hb["label"],
+            "gh": np.full((lb,), grid, np.int32),
+            "gw": np.full((lb,), grid, np.int32),
+            "present_mask": np.zeros((lb, cfg.dataset.num_classes - 1),
+                                     bool)})
         batch = weclip.Batch(
             img=dev["img"], pos_emb=pos_emb, valid=valid,
-            gh=jnp.full((b,), grid, jnp.int32), gw=jnp.full((b,), grid, jnp.int32),
-            present_mask=jnp.zeros((b, cfg.dataset.num_classes - 1), bool))
+            gh=dev["gh"], gw=dev["gw"],
+            present_mask=dev["present_mask"])
         state, m = step_fn(state, frozen, batch, dev["label"], rng)
         if (n_iter + 1) % cfg.train.log_iters == 0:
             log.info("iter %d: loss %.4f acc %.4f", n_iter + 1,

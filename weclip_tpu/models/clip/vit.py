@@ -267,11 +267,8 @@ def vision_forward_frozen(
     # skip their q/k/v pad copies and output slices entirely.  The extra
     # tokens are ordinary invalid tokens: zero-valued, masked everywhere the
     # padded-grid tokens already are.  See VisionFeatures docstring.
-    from weclip_tpu.ops.pallas_attention import stream_pad_len
-    ls = stream_pad_len(x.shape[1])
-    if ls != x.shape[1]:
-        x = jnp.pad(x, [(0, 0), (0, ls - x.shape[1]), (0, 0)])
-        valid = jnp.pad(valid, [(0, 0), (0, ls - valid.shape[1])])
+    from weclip_tpu.ops.pallas_attention import pad_stream
+    x, valid, _ = pad_stream(x, valid)
 
     n_frozen = cfg.vision_layers - 1
     blocks = params["blocks"]

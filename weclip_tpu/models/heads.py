@@ -172,15 +172,8 @@ def decoder_forward(p: Params, fts: jax.Array, n_heads: int = 8,
         # output slice inside the kernel wrapper (~2 ms/round of HBM glue
         # in the round-4 trace).  The pad rows are masked-invalid tokens;
         # their garbage outputs are sliced off before the prediction head.
-        from weclip_tpu.ops.pallas_attention import stream_pad_len
-        ls = stream_pad_len(pp)
-        if ls != pp:
-            x = jnp.pad(x, [(0, 0), (0, ls - pp), (0, 0)])
-            if valid is None:
-                valid = jnp.arange(ls)[None, :] < pp
-            else:
-                valid = jnp.pad(valid.astype(bool),
-                                [(0, 0), (0, ls - pp)])
+        from weclip_tpu.ops.pallas_attention import pad_stream
+        x, valid, _ = pad_stream(x, valid)
 
     def body(x, bp):
         x, attn_w, _ = vit.block_forward(bp, x, n_heads, valid=valid,

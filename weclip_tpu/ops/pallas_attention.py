@@ -69,6 +69,30 @@ def stream_pad_len(l: int) -> int:
     return lp
 
 
+def pad_stream(x: jax.Array, valid: Optional[jax.Array]):
+    """Pad a (B, L, D) token stream (and its (B, L) valid mask) once to
+    ``stream_pad_len(L)`` so downstream kernel calls run pad-free.
+
+    The single owner of the alignment contract — used by the frozen
+    backbone (vit.vision_forward_frozen) and the decoder
+    (models/heads.py::decoder_forward).  Pad tokens are ordinary
+    masked-invalid tokens; callers slice outputs back to L.  Returns
+    ``(x, valid, L)``; ``valid=None`` stays None when no padding is
+    needed, otherwise a full (B, L') bool mask is built (all callers
+    need the batch dim — a (1, L') mask would be mis-indexed by the
+    kernel's per-batch mask BlockSpec)."""
+    b, l = x.shape[0], x.shape[1]
+    ls = stream_pad_len(l)
+    if ls == l:
+        return x, valid, l
+    x = jnp.pad(x, [(0, 0), (0, ls - l), (0, 0)])
+    if valid is None:
+        valid = jnp.broadcast_to(jnp.arange(ls)[None, :] < l, (b, ls))
+    else:
+        valid = jnp.pad(valid.astype(bool), [(0, 0), (0, ls - l)])
+    return x, valid, l
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, attn_ref=None, *,
                  n_heads: int, scale: float, score_dtype=jnp.bfloat16,
                  head_axis: int = 2):

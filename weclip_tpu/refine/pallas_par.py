@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from weclip_tpu.core.config import ParConfig
 from weclip_tpu.ops.resize import resize_bilinear
-from weclip_tpu.refine.par import _OFFSETS, par_affinity
+from weclip_tpu.refine.par import _OFFSETS
 
 _LANE = 128
 
