@@ -8,8 +8,14 @@ discards (CAMs of flipped/0.75 passes).
 
 Prints ONE JSON line:
   {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...,
+   "vs_baseline_pessimistic": value vs the A100 band's pessimistic edge,
    "end_to_end": best-window imgs/sec with host batch prep overlapped,
-   "end_to_end_median": median window, "end_to_end_band": [worst, best]}
+   "end_to_end_median": median window, "end_to_end_band": [worst, best],
+   "e2e_opt_batch"/"end_to_end_opt_batch_*": the e2e windows rerun at the
+   e2e-optimal batch (16; the headline runs the device-optimal 8),
+   "host_load1"/"tunnel_mbps": self-qualifying telemetry (host 1-min
+   loadavg and measured device->host tunnel rate) so a slow e2e window is
+   attributable to host/tunnel state from the artifact alone}
 
 ``value`` is the device steady-state rate (comparable across rounds);
 ``end_to_end*`` rotate freshly built batches through a depth-1 prefetch
@@ -42,6 +48,33 @@ import time
 import numpy as np
 
 A100_EST_IMGS_PER_SEC = 5.0          # measured derivation, BASELINE.md
+# Pessimistic edge of the A100 band: every stage simultaneously at the top
+# of its measured-class effective rate (BASELINE.md per-stage table; the
+# PAR stage's floor is PROVEN by exact eager-op traffic accounting,
+# tools/par_traffic.py).  vs_baseline_pessimistic uses this divisor.
+A100_PESSIMISTIC_IMGS_PER_SEC = 12.0
+
+
+def host_telemetry() -> dict:
+    """Self-qualifying evidence for the artifact (VERDICT r4 weak #1): the
+    e2e numbers swing with host load and axon-tunnel state, and without
+    these fields a slow window is indistinguishable from a regressed
+    program.  ``load1``: 1-min loadavg (this box has 1 vCPU, so >1.5 means
+    a busy host was sharing the benchmark's core).  ``tunnel_mbps``:
+    device->host readback rate of a 24 MB buffer measured in-process —
+    the quiet-tunnel rate is ~86 MB/s; well below that means the tunnel
+    was degraded during this run."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    n = 24 * 1024 * 1024
+    x = jax.device_put(np.zeros((n,), np.uint8))
+    np.asarray(x[:16])                 # force the transfer to complete
+    t0 = time.perf_counter()
+    np.asarray(x)
+    dt = time.perf_counter() - t0
+    return {"host_load1": round(os.getloadavg()[0], 2),
+            "tunnel_mbps": round(n / 1e6 / dt, 1)}
 
 
 def wait_for_device(max_wait_s: float = 900, probe_timeout_s: float = 150,
@@ -119,8 +152,12 @@ def build_state(cfg, rng, seed=0):
 
 
 def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3,
-               max_ori=512, with_cam=True):
-    """Returns (device_imgs_per_sec, end_to_end dict) per chip."""
+               max_ori=512, with_cam=True, device_windows=True):
+    """Returns (device_imgs_per_sec, end_to_end dict) per chip.
+
+    ``device_windows=False`` skips the device steady-state loop (returns
+    None for the rate) — used for the extra e2e-at-its-own-optimal-batch
+    row, where only the end-to-end windows are wanted."""
     import jax
     from weclip_tpu.evalx import metrics
     from weclip_tpu.evalx.runner import Evaluator, make_prep
@@ -156,20 +193,36 @@ def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3,
     # device steady-state: one resident batch, best of `windows` windows
     # (single-window timings vary +-7% from host/tunnel scheduling noise;
     # the minimum is the standard steady-state estimator for that profile).
-    # Timing barrier: the chained hist read.  hists feed round N into round
-    # N+1 and any output read requires the whole module execution to
-    # complete, so this forces every round's full compute.  Do NOT read the
-    # prediction canvases here: the production eval hot path
-    # (Evaluator.run) accumulates metrics on device and never ships them,
-    # and one (B,512,512) int32 readback costs ~175 ms through the ~86 MB/s
-    # tunnel — r2/r3 benches paid exactly that per window, under-reporting
-    # the device rate by ~15% (xprof: modules run gap-free back-to-back).
+    # Measurement (r5, closes the VERDICT r4 walled-vs-self-time gap): the
+    # r4 loop timed [first dispatch .. final hist readback], so each window
+    # carried two FIXED edge costs — the dispatch lead-in through the
+    # tunnel before the first module starts (~12 ms in the r5 timeline,
+    # tools/timeline_eval.py) and the final readback RTT — amortized over
+    # only 6 rounds: ~4.3 ms/round of pure measurement edge, while the
+    # timeline shows modules executing back-to-back with 12 us gaps at
+    # 135.18 ms each.  Here all warm+measured rounds are dispatched up
+    # front (async), and the clock runs between the readbacks of two
+    # IN-FLIGHT hist snapshots (round `warm` and round `warm+rounds`):
+    # both endpoints pay one identical readback RTT, so the edges cancel
+    # and dt is exactly `rounds` x module-execution time — the rate a
+    # production Evaluator.run sustains with its prefetch keeping the
+    # device fed.  Timing barrier: the chained hist read (hists feed round
+    # N into N+1, so reading round k's hist forces every round <= k).  Do
+    # NOT read the prediction canvases: the production hot path never
+    # ships them, and one (B,512,512) int32 readback costs ~175 ms through
+    # the ~86 MB/s tunnel — r2/r3 benches paid exactly that per window,
+    # under-reporting the device rate by ~15%.
+    warm = 2
     dt_dev = float("inf")
-    for _ in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(rounds):
+    for _ in range(windows if device_windows else 0):
+        snaps = []
+        for r in range(warm + rounds):
             ps, pm, hists = one_round(built0, hists)
-        np.asarray(hists[0])
+            if r == warm - 1 or r == warm + rounds - 1:
+                snaps.append(hists[0])
+        np.asarray(snaps[0])
+        t0 = time.perf_counter()
+        np.asarray(snaps[1])
         dt_dev = min(dt_dev, time.perf_counter() - t0)
 
     # end-to-end: fresh host batches rotate through a depth-1 prefetch
@@ -203,7 +256,7 @@ def bench_eval(cfg, params, frozen, clip_params, policy, rounds=6, windows=3,
     mid = len(e2e_rates) // 2
     e2e_median = (e2e_rates[mid] if len(e2e_rates) % 2
                   else 0.5 * (e2e_rates[mid - 1] + e2e_rates[mid]))
-    return (per_img / dt_dev,
+    return (per_img / dt_dev if device_windows else None,
             {"best": e2e_rates[-1], "median": e2e_median,
              "band": (e2e_rates[0], e2e_rates[-1])})
 
@@ -295,15 +348,32 @@ def main():
     policy = precision.make_policy("bfloat16")
     params, frozen, clip_params = build_state(cfg, rng)
     dev_rate, e2e = bench_eval(cfg, params, frozen, clip_params, policy)
+    # e2e at its own optimal batch: the device-optimal batch is 8, but the
+    # e2e number (host prep in the window) peaks at 16 on this 1-vCPU host
+    # (PARITY batch sweep) — report both so the artifact carries the
+    # e2e-optimum, not just the device-optimum (VERDICT r4 weak #3).
+    b16 = 16 if cfg.eval.batch_images != 16 else 8
+    import dataclasses as _dc
+    cfg16 = _dc.replace(cfg, eval=_dc.replace(cfg.eval, batch_images=b16))
+    _, e2e16 = bench_eval(cfg16, params, frozen, clip_params, policy,
+                          device_windows=False)
     print(json.dumps({
         "metric": "mscflip_voc_inference_512px",
         "value": round(dev_rate, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(dev_rate / A100_EST_IMGS_PER_SEC, 3),
+        "vs_baseline_pessimistic": round(
+            dev_rate / A100_PESSIMISTIC_IMGS_PER_SEC, 3),
+        "batch": cfg.eval.batch_images,
         "end_to_end": round(e2e["best"], 3),
         "end_to_end_median": round(e2e["median"], 3),
         "end_to_end_band": [round(e2e["band"][0], 3),
                             round(e2e["band"][1], 3)],
+        "e2e_opt_batch": b16,
+        "end_to_end_opt_batch_median": round(e2e16["median"], 3),
+        "end_to_end_opt_batch_band": [round(e2e16["band"][0], 3),
+                                      round(e2e16["band"][1], 3)],
+        **host_telemetry(),
     }))
 
     if args.comer:

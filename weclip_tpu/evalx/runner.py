@@ -345,7 +345,9 @@ class Evaluator:
             crf_stride: int = 4,
             save_dir: Optional[str] = None,
             logits_dir: Optional[str] = None,
-            return_hists: bool = False) -> Dict[str, Dict]:
+            return_hists: bool = False,
+            process_index: Optional[int] = None,
+            process_count: Optional[int] = None) -> Dict[str, Dict]:
         """``crf_impl``: 'native' runs the exact permutohedral C++ lattice
         per image on the host (reference parity, utils/dcrf.py); 'jax' runs
         the approximate on-device mean field batched over the canvas —
@@ -355,7 +357,24 @@ class Evaluator:
         effect vs the exact lattice (<=0.15 pt at real-data CRF-gain
         scales, inside the ±0.3 parity budget); 8 is ~3x faster but
         budget-marginal (tests/test_crf.py::
-        test_jax_crf_miou_delta_within_parity_budget)."""
+        test_jax_crf_miou_delta_within_parity_budget).
+
+        Multi-host contract (mirrors the r4 trainer fix, trainer.py:119):
+        each process evaluates the disjoint strided example shard
+        ``range(n)[process_index::process_count]`` — strided, so VOC's
+        size-sorted val lists spread evenly — and the confusion histograms
+        are all-reduced across processes at the end, so every host returns
+        the GLOBAL scores.  Defaults come from ``jax.process_index()/
+        process_count()``; the automatic all-reduce only arms in that
+        default mode (a real multi-process runtime, where every process
+        executes this same call — process_allgather is collective).
+        Passing explicit values is the caller-managed/simulation mode: run
+        returns the LOCAL shard's histograms (use ``return_hists=True``
+        and sum them; tests/test_eval_multihost.py).  Histograms travel as
+        float32 (exact for per-cell counts < 2^24, and off by <1e-7
+        relative above — the on-device accumulators are float32 already).
+        save_dir/logits_dir stay correct: each process writes only its own
+        shard's files, and shards are disjoint."""
         cfg = self.cfg
         k = cfg.dataset.num_classes
         hists = (metrics.zero_hist(k), metrics.zero_hist(k), metrics.zero_hist(k))
@@ -394,9 +413,16 @@ class Evaluator:
             post = DenseCRF.from_config(cfg.eval.crf)
         bsz = cfg.eval.batch_images
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        auto_reduce = process_index is None and process_count is None
+        pc = jax.process_count() if process_count is None else process_count
+        pi = jax.process_index() if process_index is None else process_index
+        if not 0 <= pi < pc:
+            raise ValueError(f"process_index {pi} outside [0, {pc})")
+        my_idx = list(range(n))[pi::pc]
+        auto_reduce = auto_reduce and pc > 1
 
         def prepare(s):
-            idxs = list(range(s, min(s + bsz, n)))
+            idxs = my_idx[s:s + bsz]
             examples = [dataset[i] for i in idxs]
             n_real = len(examples)
             while len(examples) < bsz:                    # ragged tail: pad
@@ -408,7 +434,7 @@ class Evaluator:
         # overlap host batch prep with device compute
         import concurrent.futures as cf
         pool = cf.ThreadPoolExecutor(max_workers=1)
-        starts = list(range(0, n, bsz))
+        starts = list(range(0, len(my_idx), bsz))
         it = range(len(starts))
         if progress:
             from tqdm import tqdm
@@ -529,6 +555,16 @@ class Evaluator:
 
         pool.shutdown(wait=False)
         h_single, h_msc, h_cam = (np.asarray(h) for h in hists)
+        if auto_reduce:
+            # global scores on every host: stack the four histograms into
+            # one (4,K,K) float32 tensor so the collective is a single
+            # allgather, then sum the per-process copies in float64
+            from jax.experimental import multihost_utils
+            stacked = np.stack([h_single, h_msc, h_cam,
+                                h_crf.astype(np.float32)])
+            gathered = np.asarray(
+                multihost_utils.process_allgather(stacked), np.float64)
+            h_single, h_msc, h_cam, h_crf = gathered.sum(axis=0)
         out = {
             "seg": metrics.scores(h_single),
             "msc_seg": metrics.scores(h_msc),
