@@ -255,7 +255,10 @@ def coco_config(**kw) -> Config:
         dataset=dataclasses.replace(cfg.dataset, name="coco", num_classes=81),
         train=dataclasses.replace(
             cfg.train, max_iters=80000, seg_trans_start_iter=40000,
-            ckpt_start_iter=40000),
+            # COCO checkpoints every 10k after 40k (coco_attn_reg.yaml:22,
+            # dist_clip_coco.py:284-288) — eval_iters only drives the save
+            # cadence here, since COCO has no mid-training validation
+            ckpt_start_iter=40000, eval_iters=10000),
         cam=dataclasses.replace(
             cfg.cam, bbox_threshold=0.7, seg_trans_layers=10),
     )
