@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import argparse
 import concurrent.futures
+import dataclasses
 import json
 import time
 
@@ -55,26 +56,17 @@ A100_EST_IMGS_PER_SEC = 5.0          # measured derivation, BASELINE.md
 A100_PESSIMISTIC_IMGS_PER_SEC = 12.0
 
 
-def host_telemetry() -> dict:
-    """Self-qualifying evidence for the artifact (VERDICT r4 weak #1): the
-    e2e numbers swing with host load and axon-tunnel state, and without
-    these fields a slow window is indistinguishable from a regressed
-    program.  ``load1``: 1-min loadavg (this box has 1 vCPU, so >1.5 means
-    a busy host was sharing the benchmark's core).  ``tunnel_mbps``:
-    device->host readback rate of a 24 MB buffer measured in-process —
-    the quiet-tunnel rate is ~86 MB/s; well below that means the tunnel
-    was degraded during this run."""
-    import os
+def tunnel_probe_mbps() -> float:
+    """Device->host readback rate of a 24 MB buffer, measured in-process.
+    Quiet-tunnel rate is ~86 MB/s; well below that means the tunnel was
+    degraded at probe time."""
     import jax
-    import jax.numpy as jnp
     n = 24 * 1024 * 1024
     x = jax.device_put(np.zeros((n,), np.uint8))
     np.asarray(x[:16])                 # force the transfer to complete
     t0 = time.perf_counter()
     np.asarray(x)
-    dt = time.perf_counter() - t0
-    return {"host_load1": round(os.getloadavg()[0], 2),
-            "tunnel_mbps": round(n / 1e6 / dt, 1)}
+    return round(n / 1e6 / (time.perf_counter() - t0), 1)
 
 
 def wait_for_device(max_wait_s: float = 900, probe_timeout_s: float = 150,
@@ -341,22 +333,38 @@ def main():
 
     cfg = Config()                                  # ViT-B/16, VOC, 21 classes
     if args.batch:
-        import dataclasses
         cfg = dataclasses.replace(
             cfg, eval=dataclasses.replace(cfg.eval, batch_images=args.batch))
+    # telemetry brackets the timed windows (self-review r5: a single
+    # post-run sample cannot attribute a window that ran under different
+    # host/tunnel state, and post-run loadavg is polluted by the bench's
+    # own host-bound e2e phase).  load1 pre = the machine state the bench
+    # entered (this box has 1 vCPU: >~1.5 means a busy cotenant);
+    # tunnel probes run right before the first and after the last timed
+    # window — a healthy pre + sick post (or vice versa) flags mid-run
+    # tunnel drift in the artifact itself.
+    import os as _os
+    load_pre = round(_os.getloadavg()[0], 2)
     rng = np.random.default_rng(0)
     policy = precision.make_policy("bfloat16")
     params, frozen, clip_params = build_state(cfg, rng)
+    tun_pre = tunnel_probe_mbps()
     dev_rate, e2e = bench_eval(cfg, params, frozen, clip_params, policy)
     # e2e at its own optimal batch: the device-optimal batch is 8, but the
     # e2e number (host prep in the window) peaks at 16 on this 1-vCPU host
     # (PARITY batch sweep) — report both so the artifact carries the
     # e2e-optimum, not just the device-optimum (VERDICT r4 weak #3).
-    b16 = 16 if cfg.eval.batch_images != 16 else 8
-    import dataclasses as _dc
-    cfg16 = _dc.replace(cfg, eval=_dc.replace(cfg.eval, batch_images=b16))
-    _, e2e16 = bench_eval(cfg16, params, frozen, clip_params, policy,
-                          device_windows=False)
+    # When the headline already runs batch 16 (--batch 16 sweeps) the
+    # opt-batch rows simply restate the headline e2e windows.
+    b_opt = 16
+    if cfg.eval.batch_images == b_opt:
+        e2e16 = e2e
+    else:
+        cfg16 = dataclasses.replace(
+            cfg, eval=dataclasses.replace(cfg.eval, batch_images=b_opt))
+        _, e2e16 = bench_eval(cfg16, params, frozen, clip_params, policy,
+                              device_windows=False)
+    tun_post = tunnel_probe_mbps()
     print(json.dumps({
         "metric": "mscflip_voc_inference_512px",
         "value": round(dev_rate, 3),
@@ -369,15 +377,18 @@ def main():
         "end_to_end_median": round(e2e["median"], 3),
         "end_to_end_band": [round(e2e["band"][0], 3),
                             round(e2e["band"][1], 3)],
-        "e2e_opt_batch": b16,
+        "e2e_opt_batch": b_opt,
         "end_to_end_opt_batch_median": round(e2e16["median"], 3),
         "end_to_end_opt_batch_band": [round(e2e16["band"][0], 3),
                                       round(e2e16["band"][1], 3)],
-        **host_telemetry(),
+        "host_load1": load_pre,
+        "host_load1_end": round(_os.getloadavg()[0], 2),
+        "tunnel_mbps": min(tun_pre, tun_post),
+        "tunnel_mbps_pre": tun_pre,
+        "tunnel_mbps_post": tun_post,
     }))
 
     if args.comer:
-        import dataclasses
         from weclip_tpu.core.config import ComerConfig
         ccfg = dataclasses.replace(cfg, comer=ComerConfig(enabled=True))
         cparams, cfrozen, cclip = build_state(ccfg, np.random.default_rng(2))
@@ -398,7 +409,6 @@ def main():
         from weclip_tpu.core.config import coco_config
         kcfg = coco_config()
         if args.batch:
-            import dataclasses
             kcfg = dataclasses.replace(
                 kcfg, eval=dataclasses.replace(kcfg.eval,
                                                batch_images=args.batch))

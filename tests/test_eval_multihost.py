@@ -88,3 +88,33 @@ def test_bad_process_index_rejected():
     cfg, params, frozen, ds, ev = _build()
     with pytest.raises(ValueError):
         ev.run(params, frozen, ds, process_index=2, process_count=2)
+
+
+def test_half_specified_sharding_rejected():
+    """Only one of process_index/process_count would silently evaluate a
+    partial dataset and report its scores as full-dataset scores."""
+    cfg, params, frozen, ds, ev = _build()
+    with pytest.raises(ValueError):
+        ev.run(params, frozen, ds, process_count=4)
+    with pytest.raises(ValueError):
+        ev.run(params, frozen, ds, process_index=0)
+
+
+def test_cross_process_mesh_rejects_explicit_sharding():
+    """An Evaluator on a CROSS-PROCESS mesh runs the global-mesh SPMD
+    contract (identical full example list on every process; per-round
+    psum globalizes hists) — explicit per-process example sharding there
+    would drop images and double-count, so run() must refuse it."""
+    import numpy as np
+    cfg, params, frozen, ds, ev = _build()
+
+    class FakeDev:
+        def __init__(self, p):
+            self.process_index = p
+
+    class FakeMesh:
+        devices = np.array([FakeDev(0), FakeDev(1)])
+
+    ev.mesh = FakeMesh()
+    with pytest.raises(ValueError, match="cross-process mesh"):
+        ev.run(params, frozen, ds, process_index=0, process_count=2)

@@ -140,11 +140,13 @@ def main(argv=None):
                          "seed noise on this task; >=3 for a claim)")
     args = ap.parse_args(argv)
 
-    plain, comer = [], []
+    plain, comer, plain_fl, comer_fl = [], [], [], []
     for s in range(args.seed, args.seed + args.seeds):
         pm, pl = run_arm(False, args.steps, args.batch, args.eval_n, s)
         cm, cl = run_arm(True, args.steps, args.batch, args.eval_n, s)
         plain.append(float(pm)); comer.append(float(cm))
+        plain_fl.append(float(np.mean(pl[-10:])))
+        comer_fl.append(float(np.mean(cl[-10:])))
         if args.seeds > 1:
             print(json.dumps({"seed": s, "plain_miou": round(pm, 4),
                               "comer_miou": round(cm, 4)}))
@@ -157,8 +159,8 @@ def main(argv=None):
         "delta": round(float(np.mean(comer) - np.mean(plain)), 4),
         "plain_std": round(float(np.std(plain)), 4),
         "comer_std": round(float(np.std(comer)), 4),
-        "plain_final_loss": round(float(np.mean(pl[-10:])), 4),
-        "comer_final_loss": round(float(np.mean(cl[-10:])), 4),
+        "plain_final_loss": round(float(np.mean(plain_fl)), 4),
+        "comer_final_loss": round(float(np.mean(comer_fl)), 4),
     }
     print(json.dumps(out))
     return out

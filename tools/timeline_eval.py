@@ -46,7 +46,12 @@ def module_events(path: str):
 
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/xprof_eval"
-    path = sorted(glob.glob(root + "/plugins/profile/*/*.xplane.pb"))[-1]
+    paths = sorted(glob.glob(root + "/plugins/profile/*/*.xplane.pb"))
+    if not paths:
+        print(f"no xplane.pb under {root}/plugins/profile/ "
+              f"(run tools/profile_eval.py --out {root} first)")
+        return
+    path = paths[-1]
     print("xplane:", path)
     mods = module_events(path)
     if not mods:

@@ -359,22 +359,36 @@ class Evaluator:
         budget-marginal (tests/test_crf.py::
         test_jax_crf_miou_delta_within_parity_budget).
 
-        Multi-host contract (mirrors the r4 trainer fix, trainer.py:119):
-        each process evaluates the disjoint strided example shard
-        ``range(n)[process_index::process_count]`` — strided, so VOC's
-        size-sorted val lists spread evenly — and the confusion histograms
-        are all-reduced across processes at the end, so every host returns
-        the GLOBAL scores.  Defaults come from ``jax.process_index()/
-        process_count()``; the automatic all-reduce only arms in that
-        default mode (a real multi-process runtime, where every process
-        executes this same call — process_allgather is collective).
-        Passing explicit values is the caller-managed/simulation mode: run
-        returns the LOCAL shard's histograms (use ``return_hists=True``
-        and sum them; tests/test_eval_multihost.py).  Histograms travel as
-        float32 (exact for per-cell counts < 2^24, and off by <1e-7
-        relative above — the on-device accumulators are float32 already).
-        save_dir/logits_dir stay correct: each process writes only its own
-        shard's files, and shards are disjoint."""
+        Multi-host contract (mirrors the r4 trainer fix, trainer.py:119) —
+        two topologies, selected by the Evaluator's mesh:
+
+        - **cross-process mesh** (trainer.validate / eval CLIs on a pod):
+          the global-mesh SPMD contract — every process enumerates the
+          IDENTICAL full example list, build_batch shards each global
+          batch over the mesh, and the per-round psum over the data axis
+          already makes the histograms global.  Per-process example
+          sharding is disabled (and explicitly rejected) here: it would
+          drop images, double-count hists, and desynchronize the hosts'
+          collective dispatch counts.
+        - **per-process Evaluators** (mesh=None or single-process mesh;
+          the reference scripts/dist_clip_voc.py:139 DataLoader-sharding
+          role): each process evaluates the disjoint strided shard
+          ``range(n)[process_index::process_count]`` — strided, so VOC's
+          size-sorted val lists spread evenly — and the confusion
+          histograms are all-reduced across processes at the end, so
+          every host returns the GLOBAL scores.  Defaults come from
+          ``jax.process_index()/process_count()``; the automatic
+          all-reduce only arms in that default mode (a real multi-process
+          runtime, where every process executes this same call —
+          process_allgather is collective).  Passing explicit values
+          (both, never one) is the caller-managed/simulation mode: run
+          returns the LOCAL shard's histograms (use ``return_hists=True``
+          and sum them; tests/test_eval_multihost.py).
+
+        Histograms travel as float32 (exact for per-cell counts < 2^24,
+        off by <1e-7 relative above — the on-device accumulators are
+        float32 already).  save_dir/logits_dir stay correct in shard
+        mode: each process writes only its own disjoint shard's files."""
         cfg = self.cfg
         k = cfg.dataset.num_classes
         hists = (metrics.zero_hist(k), metrics.zero_hist(k), metrics.zero_hist(k))
@@ -413,9 +427,38 @@ class Evaluator:
             post = DenseCRF.from_config(cfg.eval.crf)
         bsz = cfg.eval.batch_images
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
-        auto_reduce = process_index is None and process_count is None
-        pc = jax.process_count() if process_count is None else process_count
-        pi = jax.process_index() if process_index is None else process_index
+        if (process_index is None) != (process_count is None):
+            # half-specified sharding would silently evaluate a partial
+            # dataset and report its scores as full-dataset scores
+            raise ValueError("pass both process_index and process_count or "
+                             "neither")
+        # An Evaluator holding a CROSS-PROCESS mesh (trainer.validate, the
+        # eval CLIs on a pod) already runs the global-mesh SPMD contract:
+        # every process enumerates the IDENTICAL full example list,
+        # build_batch device_puts the same host values on every process
+        # (mesh.py batch_sharding requires that), and the per-round psum
+        # over the data axis makes the histograms global.  Per-process
+        # example sharding there would drop images, double-count hists
+        # (psum + allgather), and desynchronize collective dispatch counts
+        # across hosts.  The per-process shard mode below is for the
+        # OTHER topology: one Evaluator per process over process-local
+        # devices (mesh=None or a single-process mesh), reference
+        # scripts/dist_clip_voc.py:139's DataLoader sharding role.
+        mesh_procs = (set() if self.mesh is None else
+                      {d.process_index for d in
+                       np.asarray(self.mesh.devices).flat})
+        cross_process_mesh = len(mesh_procs) > 1
+        auto_reduce = process_index is None and not cross_process_mesh
+        if cross_process_mesh and process_index is not None:
+            raise ValueError(
+                "explicit process sharding is incompatible with a "
+                "cross-process mesh: the global-mesh contract needs every "
+                "process to enumerate the identical example list")
+        if cross_process_mesh:
+            pc, pi = 1, 0
+        else:
+            pc = jax.process_count() if process_count is None else process_count
+            pi = jax.process_index() if process_index is None else process_index
         if not 0 <= pi < pc:
             raise ValueError(f"process_index {pi} outside [0, {pc})")
         my_idx = list(range(n))[pi::pc]
